@@ -167,3 +167,66 @@ class SincResamplerSim:
             # first_pass dummy: pending consumed as zeros
             self.first_pass = False
         return self._resample(self.d).astype(np.float32)
+
+
+class ThreeBandFilterBankSim:
+    """Loop-level model of ThreeBandFilterBank (three_band_filter_bank.cc)."""
+
+    def __init__(self):
+        from webrtc_audio_processing_tpu.ops.three_band import (
+            FILTER_COEFFS,
+            DCT_MODULATION,
+            MEMORY_SIZE,
+            NUM_NON_ZERO,
+        )
+
+        self.coeffs = FILTER_COEFFS
+        self.dct = DCT_MODULATION
+        self.mem = MEMORY_SIZE
+        self.state_a = np.zeros((NUM_NON_ZERO, MEMORY_SIZE), np.float32)
+        self.state_s = np.zeros((NUM_NON_ZERO, MEMORY_SIZE), np.float32)
+
+    @staticmethod
+    def _filter_core(filt, x, in_shift, state):
+        mem = 15
+        out = np.zeros(160, np.float32)
+        u = np.concatenate([state, x])
+        for k in range(160):
+            for i in range(4):
+                j = mem + k - in_shift - 4 * i
+                out[k] += u[j] * filt[i]
+        state[:] = x[-mem:]
+        return out
+
+    @staticmethod
+    def _filter_index(index):
+        return index if index < 3 else (index - 1 if index < 9 else index - 2)
+
+    def analysis(self, x):
+        out = np.zeros((3, 160), np.float32)
+        for ds in range(3):
+            in_sub = np.asarray(x[2 - ds :: 3], np.float32).copy()
+            for shift in range(4):
+                index = ds + shift * 3
+                if index in (3, 9):
+                    continue
+                fi = self._filter_index(index)
+                filt = self._filter_core(self.coeffs[fi], in_sub, shift, self.state_a[fi])
+                for band in range(3):
+                    out[band] += self.dct[fi, band] * filt
+        return out
+
+    def synthesis(self, bands):
+        out = np.zeros(480, np.float32)
+        for up in range(3):
+            for shift in range(4):
+                index = up + shift * 3
+                if index in (3, 9):
+                    continue
+                fi = self._filter_index(index)
+                in_sub = np.zeros(160, np.float32)
+                for band in range(3):
+                    in_sub += self.dct[fi, band] * np.asarray(bands[band], np.float32)
+                filt = self._filter_core(self.coeffs[fi], in_sub, shift, self.state_s[fi])
+                out[up::3] += 3.0 * filt
+        return out
