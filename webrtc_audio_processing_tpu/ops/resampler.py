@@ -94,10 +94,9 @@ def make_plan(source_frames: int, dest_frames: int):
     kernels = (1.0 - interp)[:, None] * bank[offset_idx] + interp[:, None] * bank[
         offset_idx + 1
     ]
-    return (
-        jnp.asarray(src_idx, jnp.int32),
-        jnp.asarray(kernels.astype(np.float32)),
-    )
+    # Cache plain numpy (never jnp: arrays created while tracing would cache
+    # tracers and leak across jit boundaries); callers convert per use.
+    return src_idx.astype(np.int32), kernels.astype(np.float32)
 
 
 def init_state(source_frames: int, batch_shape=(), dtype=jnp.float32):
@@ -122,7 +121,9 @@ def resample_frame(state, frame, source_frames: int, dest_frames: int):
     """
     s = source_frames
     buf = jnp.concatenate([state[s:], frame], axis=0)
-    src_idx, kernels = make_plan(s, dest_frames)
+    src_idx_np, kernels_np = make_plan(s, dest_frames)
+    src_idx = jnp.asarray(src_idx_np)
+    kernels = jnp.asarray(kernels_np)
     # (D, 32, ...) windows via static gather.
     gather_idx = src_idx[:, None] + jnp.arange(KERNEL_SIZE, dtype=jnp.int32)[None, :]
     windows = buf[gather_idx]  # (D, 32, ...)
