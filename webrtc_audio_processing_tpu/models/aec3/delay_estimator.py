@@ -1,0 +1,720 @@
+"""AEC3 delay estimation: matched-filter bank, lag aggregation, controller.
+
+Reference: aec3/matched_filter.cc (NLMS bank + pre-echo accumulated error),
+aec3/matched_filter_lag_aggregator.cc (histogram aggregation),
+aec3/clockdrift_detector.cc, aec3/echo_path_delay_estimator.cc,
+aec3/render_delay_controller.cc.
+
+TPU re-design: the five staggered matched filters adapt TOGETHER as one
+(5, L) array inside a 16-step ``lax.scan`` over the sub-block samples — the
+per-sample NLMS ordering of the reference is preserved exactly, while the
+per-sample work (dot + axpy over 5x512 taps) is a dense VPU/MXU op. All
+window reads precompute as static gathers from the low-rate ring buffer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
+from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
+
+BLOCK_SIZE = 64
+BLOCK_SIZE_LOG2 = 6
+NUM_BLOCKS_PER_SECOND = 250
+WINDOW_SUB_BLOCKS = 32  # kMatchedFilterWindowSizeSubBlocks
+SHIFT_SUB_BLOCKS = 24  # kMatchedFilterAlignmentShiftSizeSubBlocks
+ACC_ERR_RATE = 4  # kAccumulatedErrorSubSampleRate
+HISTOGRAM_DATA_SIZE = 250
+
+
+@dataclass(frozen=True)
+class DelayGeometry:
+    """Static sizes for the delay estimation path."""
+
+    down_sampling_factor: int
+    sub_block_size: int
+    num_filters: int
+    filter_length: int  # taps per matched filter
+    shift_samples: int  # filter_intra_lag_shift_
+    ds_size: int
+    max_filter_lag: int
+    peak_histogram_size: int
+    pre_echo_histogram_size: int
+    ds_block_size_log2: int
+
+    @staticmethod
+    def create(config: EchoCanceller3Config) -> "DelayGeometry":
+        ds = config.delay.down_sampling_factor
+        sub = BLOCK_SIZE // ds
+        filter_length = WINDOW_SUB_BLOCKS * sub
+        shift = SHIFT_SUB_BLOCKS * sub
+        nf = config.delay.num_filters
+        max_lag = nf * shift + filter_length
+        ds_log2 = max(BLOCK_SIZE_LOG2 - (ds.bit_length() - 1), 0)
+        return DelayGeometry(
+            down_sampling_factor=ds,
+            sub_block_size=sub,
+            num_filters=nf,
+            filter_length=filter_length,
+            shift_samples=shift,
+            ds_size=rb.get_down_sampled_buffer_size(ds, nf),
+            max_filter_lag=max_lag,
+            peak_histogram_size=max_lag + 1,
+            pre_echo_histogram_size=((max_lag + 1) * ds) >> BLOCK_SIZE_LOG2,
+            ds_block_size_log2=ds_log2,
+        )
+
+
+@struct.dataclass
+class MatchedFilterState:
+    filters: jnp.ndarray  # (N, L)
+    accumulated_error: jnp.ndarray  # (N, L/4), init 1
+    number_pre_echo_updates: jnp.ndarray  # () int32
+    last_detected_best_lag_filter: jnp.ndarray  # () int32, -1 when none
+    # Reported estimate: (lag, pre_echo_lag, valid).
+    reported_lag: jnp.ndarray  # () int32
+    reported_pre_echo_lag: jnp.ndarray  # () int32
+    reported_valid: jnp.ndarray  # () bool
+
+
+@struct.dataclass
+class PeakAggregatorState:
+    histogram: jnp.ndarray  # (peak_histogram_size,) int32
+    histogram_data: jnp.ndarray  # (250,) int32
+    histogram_data_index: jnp.ndarray  # () int32
+    candidate: jnp.ndarray  # () int32
+
+
+@struct.dataclass
+class PreEchoAggregatorState:
+    histogram: jnp.ndarray  # (pre_echo_histogram_size,) int32
+    histogram_data: jnp.ndarray  # (250,) int32, -1 = not updated
+    histogram_data_index: jnp.ndarray  # () int32
+    pre_echo_candidate: jnp.ndarray  # () int32
+    number_updates: jnp.ndarray  # () int32
+
+
+@struct.dataclass
+class LagAggregatorState:
+    peak: PeakAggregatorState
+    pre_echo: PreEchoAggregatorState
+    significant_candidate_found: jnp.ndarray  # () bool
+
+
+@struct.dataclass
+class ClockdriftState:
+    delay_history: jnp.ndarray  # (3,) int32
+    stability_counter: jnp.ndarray  # () int32
+    level: jnp.ndarray  # () int32: 0 none, 1 probable, 2 verified
+
+
+@struct.dataclass
+class DelayEstimatorState:
+    matched_filter: MatchedFilterState
+    aggregator: LagAggregatorState
+    clockdrift: ClockdriftState
+    capture_mixer: rb.AlignmentMixerState
+    capture_decimator_aa: object
+    capture_decimator_nr: object
+    # EchoPathDelayEstimator (echo_path_delay_estimator.h).
+    old_lag: jnp.ndarray  # () int32
+    old_lag_valid: jnp.ndarray  # () bool
+    consistent_estimate_counter: jnp.ndarray  # () int32
+    # RenderDelayController (render_delay_controller.cc).
+    delay_blocks: jnp.ndarray  # () int32
+    delay_valid: jnp.ndarray  # () bool
+    delay_samples: jnp.ndarray  # () int32
+    delay_samples_valid: jnp.ndarray  # () bool
+    delay_samples_refined: jnp.ndarray  # () bool
+    delay_change_counter: jnp.ndarray  # () int32
+    last_delay_estimate_refined: jnp.ndarray  # () bool
+
+
+def _init_matched_filter(geo: DelayGeometry) -> MatchedFilterState:
+    return MatchedFilterState(
+        filters=jnp.zeros((geo.num_filters, geo.filter_length)),
+        accumulated_error=jnp.ones(
+            (geo.num_filters, geo.filter_length // ACC_ERR_RATE)
+        ),
+        number_pre_echo_updates=jnp.asarray(0, jnp.int32),
+        last_detected_best_lag_filter=jnp.asarray(-1, jnp.int32),
+        reported_lag=jnp.asarray(0, jnp.int32),
+        reported_pre_echo_lag=jnp.asarray(0, jnp.int32),
+        reported_valid=jnp.asarray(False),
+    )
+
+
+def _init_aggregator(geo: DelayGeometry) -> LagAggregatorState:
+    return LagAggregatorState(
+        peak=PeakAggregatorState(
+            histogram=jnp.zeros((geo.peak_histogram_size,), jnp.int32),
+            histogram_data=jnp.zeros((HISTOGRAM_DATA_SIZE,), jnp.int32),
+            histogram_data_index=jnp.asarray(0, jnp.int32),
+            candidate=jnp.asarray(0, jnp.int32),
+        ),
+        pre_echo=PreEchoAggregatorState(
+            histogram=jnp.zeros((geo.pre_echo_histogram_size,), jnp.int32),
+            histogram_data=jnp.full((HISTOGRAM_DATA_SIZE,), -1, jnp.int32),
+            histogram_data_index=jnp.asarray(0, jnp.int32),
+            pre_echo_candidate=jnp.asarray(0, jnp.int32),
+            number_updates=jnp.asarray(0, jnp.int32),
+        ),
+        significant_candidate_found=jnp.asarray(False),
+    )
+
+
+def init_state(geo: DelayGeometry, config: EchoCanceller3Config,
+               num_channels: int) -> DelayEstimatorState:
+    from webrtc_audio_processing_tpu.ops import biquad
+
+    aa_sections = 3 if geo.down_sampling_factor == 4 else 5
+    nr_sections = 0 if geo.down_sampling_factor == 8 else 1
+    return DelayEstimatorState(
+        matched_filter=_init_matched_filter(geo),
+        aggregator=_init_aggregator(geo),
+        clockdrift=ClockdriftState(
+            delay_history=jnp.zeros((3,), jnp.int32),
+            stability_counter=jnp.asarray(0, jnp.int32),
+            level=jnp.asarray(0, jnp.int32),
+        ),
+        capture_mixer=rb.AlignmentMixerState(
+            strong_block_counters=jnp.zeros((2,), jnp.int32),
+            cumulative_energies=jnp.zeros((num_channels,)),
+            block_counter=jnp.asarray(0, jnp.int32),
+            selected_channel=jnp.asarray(0, jnp.int32),
+        ),
+        capture_decimator_aa=biquad.init_state(aa_sections),
+        capture_decimator_nr=biquad.init_state(nr_sections),
+        old_lag=jnp.asarray(0, jnp.int32),
+        old_lag_valid=jnp.asarray(False),
+        consistent_estimate_counter=jnp.asarray(0, jnp.int32),
+        delay_blocks=jnp.asarray(0, jnp.int32),
+        delay_valid=jnp.asarray(False),
+        delay_samples=jnp.asarray(0, jnp.int32),
+        delay_samples_valid=jnp.asarray(False),
+        delay_samples_refined=jnp.asarray(False),
+        delay_change_counter=jnp.asarray(0, jnp.int32),
+        last_delay_estimate_refined=jnp.asarray(False),
+    )
+
+
+def _reset_matched_filter(state: MatchedFilterState, full_reset):
+    """MatchedFilter::Reset (matched_filter.cc)."""
+    return state.replace(
+        filters=jnp.zeros_like(state.filters),
+        reported_valid=jnp.asarray(False),
+        accumulated_error=jnp.where(
+            full_reset, jnp.ones_like(state.accumulated_error),
+            state.accumulated_error,
+        ),
+        number_pre_echo_updates=jnp.where(
+            full_reset, 0, state.number_pre_echo_updates
+        ),
+    )
+
+
+def matched_filter_update(
+    geo: DelayGeometry,
+    config: EchoCanceller3Config,
+    state: MatchedFilterState,
+    lowrate,  # (DS,) low-rate render ring buffer
+    lr_read,  # () int32 read index
+    capture_ds,  # (sub_block_size,) downsampled capture
+    use_slow_smoothing,
+) -> MatchedFilterState:
+    """MatchedFilter::Update (matched_filter.cc:693-812) for all N filters."""
+    n_filters, length = state.filters.shape
+    sub = geo.sub_block_size
+    y = capture_ds
+    excitation_limit = (
+        config.render_levels.poor_excitation_render_limit_ds8
+        if geo.down_sampling_factor == 8
+        else config.render_levels.poor_excitation_render_limit
+    )
+    smoothing = jnp.where(
+        use_slow_smoothing,
+        config.delay.delay_estimate_smoothing_delay_found,
+        config.delay.delay_estimate_smoothing,
+    )
+    x2_sum_threshold = length * excitation_limit**2
+
+    error_sum_anchor = jnp.sum(y * y)
+
+    # Window gather: for filter n, sample i, tap k the read index is
+    # (read + shift_n + sub - 1 - i + k) mod DS (matched_filter.cc:728 and
+    # the per-sample decrement at :186).
+    shifts = jnp.arange(n_filters, dtype=jnp.int32) * geo.shift_samples
+    base = lr_read + shifts[:, None, None] + (sub - 1)  # (N,1,1)
+    idx = jnp.mod(
+        base
+        - jnp.arange(sub, dtype=jnp.int32)[None, :, None]
+        + jnp.arange(length, dtype=jnp.int32)[None, None, :],
+        geo.ds_size,
+    )
+    xw = lowrate[idx]  # (N, sub, L)
+    x2_sums = jnp.sum(xw * xw, axis=-1)  # (N, sub)
+    saturation = (y >= 32000.0) | (y <= -32000.0)  # (sub,)
+
+    acc_chunks = length // ACC_ERR_RATE
+
+    def sample_step(carry, i):
+        h, updated, err_sum, acc_err = carry
+        x_i = xw[:, i, :]  # (N, L)
+        s_partial = jnp.cumsum(
+            (h * x_i).reshape(n_filters, acc_chunks, ACC_ERR_RATE).sum(-1),
+            axis=-1,
+        )  # (N, L/4) prefix filter outputs
+        s = s_partial[:, -1]
+        e = y[i] - s  # (N,)
+        acc_err = acc_err + (y[i] - s_partial) ** 2
+        do_update = (x2_sums[:, i] > x2_sum_threshold) & ~saturation[i]
+        alpha = jnp.where(
+            do_update, smoothing * e / jnp.maximum(x2_sums[:, i], 1e-30), 0.0
+        )
+        h = h + alpha[:, None] * x_i
+        return (h, updated | do_update, err_sum + e * e, acc_err), None
+
+    init = (
+        state.filters,
+        jnp.zeros((n_filters,), bool),
+        jnp.zeros((n_filters,)),
+        jnp.zeros((n_filters, acc_chunks)),
+    )
+    (h, filters_updated, error_sums, inst_acc_err), _ = jax.lax.scan(
+        sample_step, init, jnp.arange(sub)
+    )
+
+    # Lag estimates: peak of h^2 per filter (aec3::MaxSquarePeakIndex).
+    lag_estimates = jnp.argmax(h * h, axis=-1).astype(jnp.int32)  # (N,)
+    reliable = (
+        (lag_estimates > 2)
+        & (lag_estimates < length - 10)
+        & (
+            error_sums
+            < config.delay.delay_candidate_detection_threshold
+            * error_sum_anchor
+        )
+    )
+
+    # Winner search (matched_filter.cc:764-790): ascending n, strict <.
+    lags = lag_estimates + shifts
+    winner_error = error_sum_anchor
+    winner_index = jnp.asarray(-1, jnp.int32)
+    winner_lag = jnp.asarray(0, jnp.int32)
+    prev_lag = jnp.asarray(0, jnp.int32)
+    prev_valid = jnp.asarray(False)
+    for n in range(n_filters):
+        take = filters_updated[n] & reliable[n] & (error_sums[n] < winner_error)
+        same_as_prev = prev_valid & (prev_lag == lags[n])
+        winner_lag = jnp.where(
+            take, jnp.where(same_as_prev, prev_lag, lags[n]), winner_lag
+        )
+        winner_index = jnp.where(
+            take,
+            jnp.where(same_as_prev, n - 1, n).astype(jnp.int32),
+            winner_index,
+        )
+        winner_error = jnp.where(take, error_sums[n], winner_error)
+        prev_lag, prev_valid = lags[n], jnp.asarray(True)
+
+    found = winner_index != -1
+
+    # Pre-echo accumulated-error update (matched_filter.cc:792-812). The
+    # instantaneous error belongs to filter last_detected_best_lag_filter.
+    pre_echo_on = config.delay.detect_pre_echo
+    acc_err = state.accumulated_error
+    num_updates = state.number_pre_echo_updates
+    pre_echo_lag = winner_lag
+    if pre_echo_on:
+        matches_last = found & (
+            state.last_detected_best_lag_filter == winner_index
+        )
+        do_acc = matches_last & (error_sum_anchor > 1.0)
+        inst_sel = inst_acc_err[jnp.maximum(winner_index, 0)]
+        err_norm = inst_sel / jnp.maximum(error_sum_anchor, 1e-30)
+        cur = acc_err[jnp.maximum(winner_index, 0)]
+        new_row = jnp.where(
+            err_norm < cur, err_norm, cur + 0.015 * (err_norm - cur)
+        )
+        acc_err = jnp.where(
+            do_acc,
+            acc_err.at[jnp.maximum(winner_index, 0)].set(new_row),
+            acc_err,
+        )
+        num_updates = num_updates + jnp.where(do_acc, 1, 0)
+
+        # ComputePreEchoLag (matched_filter.cc:60-78).
+        shift_winner = jnp.maximum(winner_index, 0) * geo.shift_samples
+        base_estimate = winner_lag - shift_winner
+        max_pre_lag = jnp.minimum(base_estimate // ACC_ERR_RATE, acc_chunks)
+        row = acc_err[jnp.maximum(winner_index, 0)]
+        ks = jnp.arange(acc_chunks)
+        in_range = ks < max_pre_lag
+        # blocked[k] = any(row[j] > 0.5 for j in [k, max_pre_lag)).
+        over = (row > 0.5) & in_range
+        blocked = jnp.flip(jnp.cumsum(jnp.flip(over.astype(jnp.int32)))) > 0
+        ok = in_range & ~blocked
+        k_min = jnp.min(jnp.where(ok, ks, acc_chunks))
+        computed = jnp.where(
+            k_min < acc_chunks, (k_min + 1) * ACC_ERR_RATE - 1, base_estimate
+        )
+        pre_echo_estimate = computed + shift_winner
+        pre_echo_lag = jnp.where(
+            matches_last & (num_updates >= 50), pre_echo_estimate, winner_lag
+        )
+
+    new_last = jnp.where(
+        found, winner_index, state.last_detected_best_lag_filter
+    )
+
+    return state.replace(
+        filters=h,
+        accumulated_error=acc_err,
+        number_pre_echo_updates=num_updates,
+        last_detected_best_lag_filter=new_last,
+        reported_lag=jnp.where(found, winner_lag, state.reported_lag),
+        reported_pre_echo_lag=jnp.where(
+            found, pre_echo_lag, state.reported_pre_echo_lag
+        ),
+        reported_valid=found,
+    )
+
+
+def _peak_aggregate(state: PeakAggregatorState, lag):
+    """HighestPeakAggregator::Aggregate (matched_filter_lag_aggregator.cc)."""
+    old = state.histogram_data[state.histogram_data_index]
+    hist = state.histogram.at[old].add(-1)
+    hist = hist.at[lag].add(1)
+    return PeakAggregatorState(
+        histogram=hist,
+        histogram_data=state.histogram_data.at[state.histogram_data_index].set(
+            lag
+        ),
+        histogram_data_index=jnp.mod(
+            state.histogram_data_index + 1, HISTOGRAM_DATA_SIZE
+        ),
+        candidate=jnp.argmax(hist).astype(jnp.int32),
+    )
+
+
+def _pre_echo_aggregate(geo: DelayGeometry, state: PreEchoAggregatorState,
+                        pre_echo_lag):
+    """PreEchoLagAggregator::Aggregate (matched_filter_lag_aggregator.cc)."""
+    size = state.histogram.shape[0]
+    block = jnp.clip(pre_echo_lag >> geo.ds_block_size_log2, 0, size - 1)
+    old = state.histogram_data[state.histogram_data_index]
+    hist = jnp.where(
+        old != -1, state.histogram.at[jnp.maximum(old, 0)].add(-1),
+        state.histogram,
+    )
+    hist = hist.at[block].add(1)
+
+    number_updates = state.number_updates
+    in_startup = number_updates < NUM_BLOCKS_PER_SECOND * 2
+    number_updates = jnp.where(in_startup, number_updates + 1, number_updates)
+
+    # Penalized stride-window search during startup.
+    n_windows = (size - WINDOW_SUB_BLOCKS) // WINDOW_SUB_BLOCKS + 1
+    w = hist[: n_windows * WINDOW_SUB_BLOCKS].reshape(
+        n_windows, WINDOW_SUB_BLOCKS
+    )
+    w_max = jnp.max(w, axis=-1).astype(jnp.float32)
+    w_arg = jnp.argmax(w, axis=-1)
+    penal = 0.7 ** jnp.arange(n_windows)
+    weighted = w_max * penal
+    best_w = jnp.argmax(weighted)
+    startup_candidate = (best_w * WINDOW_SUB_BLOCKS + w_arg[best_w]).astype(
+        jnp.int32
+    )
+    plain_candidate = jnp.argmax(hist).astype(jnp.int32)
+    cand_block = jnp.where(in_startup, startup_candidate, plain_candidate)
+
+    return PreEchoAggregatorState(
+        histogram=hist,
+        histogram_data=state.histogram_data.at[state.histogram_data_index].set(
+            block
+        ),
+        histogram_data_index=jnp.mod(
+            state.histogram_data_index + 1, HISTOGRAM_DATA_SIZE
+        ),
+        pre_echo_candidate=(cand_block << geo.ds_block_size_log2).astype(
+            jnp.int32
+        ),
+        number_updates=number_updates,
+    )
+
+
+def aggregate(geo: DelayGeometry, config: EchoCanceller3Config,
+              state: LagAggregatorState, lag, pre_echo_lag, lag_valid):
+    """MatchedFilterLagAggregator::Aggregate
+    (matched_filter_lag_aggregator.cc:81-110).
+
+    Returns (state, delay, delay_valid, refined_quality).
+    """
+    headroom = int(
+        config.delay.delay_headroom_samples // config.delay.down_sampling_factor
+    )
+    pre_echo = _pre_echo_aggregate(
+        geo, state.pre_echo, jnp.maximum(0, pre_echo_lag - headroom)
+    )
+    pre_echo = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(lag_valid, a, b), pre_echo, state.pre_echo
+    )
+
+    peak = _peak_aggregate(state.peak, jnp.maximum(0, lag - headroom))
+    peak = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(lag_valid, a, b), peak, state.peak
+    )
+
+    count = peak.histogram[peak.candidate]
+    thr = config.delay.delay_selection_thresholds
+    significant = state.significant_candidate_found | (
+        lag_valid & (count > thr.converged)
+    )
+    emit = lag_valid & (
+        (count > thr.converged)
+        | ((count > thr.initial) & ~state.significant_candidate_found)
+    )
+    refined = significant
+    delay = jnp.where(
+        config.delay.detect_pre_echo, pre_echo.pre_echo_candidate,
+        peak.candidate,
+    )
+    return (
+        LagAggregatorState(
+            peak=peak, pre_echo=pre_echo,
+            significant_candidate_found=significant,
+        ),
+        delay,
+        emit,
+        refined,
+    )
+
+
+def _reset_aggregator(state: LagAggregatorState, hard_reset):
+    init = _init_aggregator_like(state)
+    new = init.replace(
+        significant_candidate_found=jnp.where(
+            hard_reset, False, state.significant_candidate_found
+        )
+    )
+    return new
+
+
+def _init_aggregator_like(state: LagAggregatorState) -> LagAggregatorState:
+    return LagAggregatorState(
+        peak=PeakAggregatorState(
+            histogram=jnp.zeros_like(state.peak.histogram),
+            histogram_data=jnp.zeros_like(state.peak.histogram_data),
+            histogram_data_index=jnp.zeros_like(state.peak.histogram_data_index),
+            candidate=jnp.zeros_like(state.peak.candidate),
+        ),
+        pre_echo=PreEchoAggregatorState(
+            histogram=jnp.zeros_like(state.pre_echo.histogram),
+            histogram_data=jnp.full_like(state.pre_echo.histogram_data, -1),
+            histogram_data_index=jnp.zeros_like(
+                state.pre_echo.histogram_data_index
+            ),
+            pre_echo_candidate=jnp.zeros_like(state.pre_echo.pre_echo_candidate),
+            number_updates=jnp.zeros_like(state.pre_echo.number_updates),
+        ),
+        significant_candidate_found=state.significant_candidate_found,
+    )
+
+
+def _clockdrift_update(state: ClockdriftState, delay_estimate, enabled):
+    """ClockdriftDetector::Update (clockdrift_detector.cc:19-58)."""
+    same = delay_estimate == state.delay_history[0]
+    stab = jnp.where(same, state.stability_counter + 1, 0)
+    level = jnp.where(same & (stab > 7500), 0, state.level)
+
+    d1 = state.delay_history[0] - delay_estimate
+    d2 = state.delay_history[1] - delay_estimate
+    d3 = state.delay_history[2] - delay_estimate
+    prob_up = ((d1 == -1) & (d2 == -2)) | ((d1 == -2) & (d2 == -1))
+    drift_up = prob_up & (d3 == -3)
+    prob_down = ((d1 == 1) & (d2 == 2)) | ((d1 == 2) & (d2 == 1))
+    drift_down = prob_down & (d3 == 3)
+    new_level = jnp.where(
+        drift_up | drift_down,
+        2,
+        jnp.where((prob_up | prob_down) & (state.level == 0), 1, state.level),
+    )
+    level = jnp.where(same, level, new_level)
+    history = jnp.where(
+        same,
+        state.delay_history,
+        jnp.stack(
+            [delay_estimate, state.delay_history[0], state.delay_history[1]]
+        ).astype(jnp.int32),
+    )
+    out = ClockdriftState(
+        delay_history=history, stability_counter=stab, level=level
+    )
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(enabled, a, b), out, state
+    )
+
+
+def get_delay(
+    geo: DelayGeometry,
+    config: EchoCanceller3Config,
+    state: DelayEstimatorState,
+    lowrate,
+    lr_read,
+    capture_block,  # (bands, 64, C)
+):
+    """RenderDelayControllerImpl::GetDelay (render_delay_controller.cc:99-166)
+    including EchoPathDelayEstimator::EstimateDelay
+    (echo_path_delay_estimator.cc:66-124).
+
+    Returns (state, delay_blocks, delay_valid).
+    """
+    band0 = jnp.swapaxes(capture_block[0], 0, 1)  # (C, 64)
+    new_mixer, mono = _alignment_mix_capture(config, state.capture_mixer, band0)
+    state = state.replace(capture_mixer=new_mixer)
+    state, capture_ds = _decimate_capture(geo, state, mono)
+
+    mf = matched_filter_update(
+        geo, config, state.matched_filter, lowrate, lr_read, capture_ds,
+        state.aggregator.significant_candidate_found,
+    )
+
+    agg, lag_samples_ds, lag_valid, refined = aggregate(
+        geo, config, state.aggregator,
+        mf.reported_lag, mf.reported_pre_echo_lag, mf.reported_valid,
+    )
+
+    # Clockdrift detection on the highest-peak candidate
+    # (echo_path_delay_estimator.cc:96-101).
+    clock = _clockdrift_update(
+        state.clockdrift, agg.peak.candidate, lag_valid & refined
+    )
+
+    delay_samples = lag_samples_ds * geo.down_sampling_factor
+
+    # Consistent-estimate soft reset (echo_path_delay_estimator.cc:113-121).
+    consistent = (
+        state.old_lag_valid & lag_valid & (state.old_lag == delay_samples)
+    )
+    counter = jnp.where(consistent, state.consistent_estimate_counter + 1, 0)
+    soft_reset = counter > NUM_BLOCKS_PER_SECOND // 2
+    mf = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(soft_reset, a, b),
+        _reset_matched_filter(mf, jnp.asarray(False)), mf,
+    )
+    counter = jnp.where(soft_reset, 0, counter)
+    # old_aggregated_lag_ is overwritten every block (including to invalid)
+    # and cleared by the soft reset (echo_path_delay_estimator.cc:112-121).
+    state = state.replace(
+        matched_filter=mf,
+        aggregator=agg,
+        clockdrift=clock,
+        old_lag=delay_samples,
+        old_lag_valid=lag_valid & ~soft_reset,
+        consistent_estimate_counter=counter,
+    )
+
+    # Render delay controller aggregation (render_delay_controller.cc:108-160).
+    changed = lag_valid & (
+        ~state.delay_samples_valid | (state.delay_samples != delay_samples)
+    )
+    delay_change_counter = jnp.where(changed, 0, state.delay_change_counter)
+    delay_change_counter = jnp.where(
+        delay_change_counter < 2 * NUM_BLOCKS_PER_SECOND,
+        delay_change_counter + 1,
+        delay_change_counter,
+    )
+
+    delay_samples_state = jnp.where(
+        lag_valid, delay_samples, state.delay_samples
+    )
+    delay_samples_valid = state.delay_samples_valid | lag_valid
+    delay_samples_refined = jnp.where(
+        lag_valid, refined, state.delay_samples_refined
+    )
+
+    # ComputeBufferDelay with hysteresis (render_delay_controller.cc:54-71).
+    new_delay_blocks = delay_samples_state >> BLOCK_SIZE_LOG2
+    use_hysteresis = (
+        state.last_delay_estimate_refined & delay_samples_refined
+    )
+    hyst = jnp.where(use_hysteresis, config.delay.hysteresis_limit_blocks, 0)
+    keep = (
+        state.delay_valid
+        & (new_delay_blocks > state.delay_blocks)
+        & (new_delay_blocks <= state.delay_blocks + hyst)
+    )
+    new_delay_blocks = jnp.where(keep, state.delay_blocks, new_delay_blocks)
+
+    delay_blocks = jnp.where(
+        delay_samples_valid, new_delay_blocks, state.delay_blocks
+    )
+    delay_valid = state.delay_valid | delay_samples_valid
+    last_refined = jnp.where(
+        delay_samples_valid, delay_samples_refined,
+        state.last_delay_estimate_refined,
+    )
+
+    state = state.replace(
+        delay_blocks=delay_blocks,
+        delay_valid=delay_valid,
+        delay_samples=delay_samples_state,
+        delay_samples_valid=delay_samples_valid,
+        delay_samples_refined=delay_samples_refined,
+        delay_change_counter=delay_change_counter,
+        last_delay_estimate_refined=last_refined,
+    )
+    return state, delay_blocks, delay_valid
+
+
+def reset_delay_controller(state: DelayEstimatorState, reset_delay_confidence):
+    """RenderDelayControllerImpl::Reset + EchoPathDelayEstimator::Reset."""
+    return state.replace(
+        matched_filter=_reset_matched_filter(
+            state.matched_filter, jnp.asarray(True)
+        ),
+        aggregator=_reset_aggregator(state.aggregator, reset_delay_confidence),
+        old_lag_valid=jnp.asarray(False),
+        consistent_estimate_counter=jnp.asarray(0, jnp.int32),
+        delay_valid=jnp.asarray(False),
+        delay_samples_valid=jnp.asarray(False),
+        delay_change_counter=jnp.asarray(0, jnp.int32),
+        last_delay_estimate_refined=jnp.where(
+            reset_delay_confidence, False, state.last_delay_estimate_refined
+        ),
+    )
+
+
+def _alignment_mix_capture(config: EchoCanceller3Config, mixer, band0):
+    return rb._alignment_mix(
+        config.delay.capture_alignment_mixing, mixer, band0
+    )
+
+
+def _decimate_capture(geo: DelayGeometry, state, x):
+    from webrtc_audio_processing_tpu.ops import biquad
+
+    if geo.down_sampling_factor == 4:
+        aa_b, aa_a = rb._LOW_PASS_DS4_B, rb._LOW_PASS_DS4_A
+    else:
+        aa_b, aa_a = rb._BAND_PASS_DS8_B, rb._BAND_PASS_DS8_A
+    new_aa, y = biquad.process(
+        jnp.asarray(aa_b), jnp.asarray(aa_a), state.capture_decimator_aa, x
+    )
+    if geo.down_sampling_factor != 8:
+        new_nr, y = biquad.process(
+            jnp.asarray(rb._HIGH_PASS_B), jnp.asarray(rb._HIGH_PASS_A),
+            state.capture_decimator_nr, y,
+        )
+    else:
+        new_nr = state.capture_decimator_nr
+    return (
+        state.replace(capture_decimator_aa=new_aa, capture_decimator_nr=new_nr),
+        y[:: geo.down_sampling_factor],
+    )
