@@ -1,0 +1,267 @@
+"""Public AudioProcessing API (reference-compatible, host-side wrapper).
+
+Reference: webrtc/api/audio/audio_processing.h — the `AudioProcessing` ABC
+with its config tree, 10 ms frame entry points, error codes and statistics,
+plus api/audio/builtin_audio_processing_builder.{h,cc}.
+
+This is the imperative shell over the pure paired step in apm.py: it owns
+the stream state pytree, a small render FIFO reproducing the reference's
+render-ahead-of-capture queue semantics (audio_processing_impl.cc:1098-1225,
+bounded by kRenderTransferQueueSizeFrames=100), jits the step per (geometry,
+parity), and exposes reference-style statistics.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax
+import numpy as np
+
+from webrtc_audio_processing_tpu import apm
+from webrtc_audio_processing_tpu import config as cfg_mod
+from webrtc_audio_processing_tpu.models import rms_level
+from webrtc_audio_processing_tpu.models.aec3 import config as aec3_config
+
+# Error codes (audio_processing.h:663-683).
+kNoError = 0
+kUnspecifiedError = -1
+kCreationFailedError = -2
+kUnsupportedComponentError = -3
+kUnsupportedFunctionError = -4
+kNullPointerError = -5
+kBadParameterError = -6
+kBadSampleRateError = -7
+kBadDataLengthError = -8
+kBadNumberChannelsError = -9
+kFileError = -10
+kStreamParameterNotSetError = -11
+kNotEnabledError = -12
+kBadStreamParameterWarning = -13
+
+RENDER_QUEUE_SIZE_FRAMES = 100  # aec3_common.h:41
+
+
+class AudioProcessingStats:
+    """audio_processing_statistics.h:25-66."""
+
+    def __init__(self):
+        self.output_rms_dbfs = None
+        self.voice_detected = None
+        self.echo_return_loss = None
+        self.echo_return_loss_enhancement = None
+        self.divergent_filter_fraction = None
+        self.delay_median_ms = None
+        self.delay_standard_deviation_ms = None
+        self.residual_echo_likelihood = None
+        self.residual_echo_likelihood_recent_max = None
+        self.delay_ms = None
+
+
+def frame_size(rate_hz: int) -> int:
+    """AudioProcessing::GetFrameSize (audio_processing.h:712-719)."""
+    return rate_hz // 100
+
+
+class AudioProcessing:
+    """Stateful reference-style APM around the pure TPU step.
+
+    Usage mirrors the reference: configure, then push 10 ms frames through
+    ``process_reverse_stream`` / ``process_stream``.
+    """
+
+    def __init__(self, config: cfg_mod.Config | None = None,
+                 echo_canceller3_config=None):
+        self._config = config or cfg_mod.Config()
+        self._aec3_config = echo_canceller3_config
+        self._geo = None
+        self._state = None
+        self._steps = None
+        self._frame_index = 0
+        self._render_queue = deque()
+        self._stream_delay_ms = 0
+        self._stream_delay_set = False
+        self._key_pressed = False
+        self._output_rms_history = []
+        self._last_stats = {}
+
+    # ------------------------------------------------------------ config
+
+    def apply_config(self, config: cfg_mod.Config):
+        """ApplyConfig (audio_processing_impl.cc:694-771). Re-initializes
+        when submodule topology changes (selective re-init is a later
+        refinement)."""
+        self._config = config
+        self._geo = None  # force re-init on next frame
+
+    def initialize(self):
+        """Initialize() (audio_processing.h:489-499): reset state, keep
+        config."""
+        self._geo = None
+
+    def _ensure_initialized(self, capture_rate, capture_channels,
+                            render_rate, render_channels,
+                            capture_out_rate=None):
+        geo_key = (capture_rate, capture_channels, render_rate,
+                   render_channels, capture_out_rate)
+        if self._geo is not None and self._geo_key == geo_key:
+            return
+        self._geo_key = geo_key
+        self._geo = apm.ApmGeometry.create(
+            self._config,
+            capture_input_rate=capture_rate,
+            num_capture_channels=capture_channels,
+            capture_output_rate=capture_out_rate or capture_rate,
+            render_input_rate=render_rate or capture_rate,
+            num_render_channels=render_channels or 1,
+            aec3_cfg=self._aec3_config,
+        )
+        self._state = apm.init_state(self._geo)
+        geo = self._geo
+
+        def make(parity):
+            def fn(state, cap, ren):
+                return apm.process_stream_pair(geo, state, cap, ren, parity)
+
+            return jax.jit(fn)
+
+        self._steps = [make(0), make(1)]
+        self._frame_index = 0
+        self._render_queue.clear()
+
+    # ------------------------------------------------------------ streams
+
+    def process_reverse_stream(self, render: np.ndarray,
+                               sample_rate_hz: int | None = None):
+        """ProcessReverseStream (audio_processing.h:562-569).
+
+        render: (frames, channels) float in [-1, 1]. Returns (err, render
+        out). The render frame is queued; it is consumed by the next capture
+        frame (SwapQueue semantics, drained synchronously on overflow like
+        audio_processing_impl.cc:1107-1115).
+        """
+        render = np.atleast_2d(np.asarray(render, np.float32))
+        if render.ndim == 1:
+            render = render[:, None]
+        if len(self._render_queue) >= RENDER_QUEUE_SIZE_FRAMES:
+            self._render_queue.popleft()
+        self._render_queue.append(render)
+        return kNoError, render
+
+    def analyze_reverse_stream(self, render, sample_rate_hz=None):
+        """AnalyzeReverseStream (audio_processing.h:577)."""
+        err, _ = self.process_reverse_stream(render, sample_rate_hz)
+        return err
+
+    def process_stream(self, capture: np.ndarray, sample_rate_hz: int,
+                       output_sample_rate_hz: int | None = None):
+        """ProcessStream float (audio_processing.h:554).
+
+        capture: (frames, channels) float in [-1, 1].
+        Returns (err, output array).
+        """
+        capture = np.asarray(capture, np.float32)
+        if capture.ndim == 1:
+            capture = capture[:, None]
+        expected = frame_size(sample_rate_hz)
+        if capture.shape[0] != expected:
+            return kBadDataLengthError, capture
+        if sample_rate_hz % 100 != 0:
+            return kBadSampleRateError, capture
+
+        if self._render_queue:
+            render = self._render_queue.popleft()
+            render_rate = render.shape[0] * 100
+            render_channels = render.shape[1]
+        else:
+            render_rate = sample_rate_hz
+            render_channels = (
+                self._geo.num_render_channels if self._geo else 1
+            )
+            render = np.zeros((frame_size(render_rate), render_channels),
+                              np.float32)
+
+        self._ensure_initialized(
+            sample_rate_hz, capture.shape[1], render_rate, render_channels,
+            output_sample_rate_hz,
+        )
+
+        import jax.numpy as jnp
+
+        step = self._steps[self._frame_index % 2]
+        self._state, out, _ren_out, stats = step(
+            self._state, jnp.asarray(capture), jnp.asarray(render)
+        )
+        self._frame_index += 1
+        self._last_stats = stats
+        return kNoError, np.asarray(out)
+
+    def process_stream_int16(self, capture: np.ndarray, sample_rate_hz: int):
+        """ProcessStream int16 (audio_processing.h:542)."""
+        x = np.asarray(capture, np.int16).astype(np.float32) / 32768.0
+        err, out = self.process_stream(x, sample_rate_hz)
+        out16 = np.clip(out * 32768.0, -32768, 32767)
+        out16 = np.trunc(out16 + np.copysign(0.5, out16)).astype(np.int16)
+        return err, out16
+
+    # ------------------------------------------------------------ params
+
+    def set_stream_delay_ms(self, delay_ms: int) -> int:
+        """set_stream_delay_ms (audio_processing.h:611)."""
+        self._stream_delay_set = True
+        if delay_ms < 0:
+            self._stream_delay_ms = 0
+            return kBadStreamParameterWarning
+        if delay_ms > 500:
+            self._stream_delay_ms = 500
+            return kBadStreamParameterWarning
+        self._stream_delay_ms = delay_ms
+        return kNoError
+
+    def stream_delay_ms(self) -> int:
+        return self._stream_delay_ms
+
+    def set_stream_key_pressed(self, key_pressed: bool):
+        self._key_pressed = key_pressed
+
+    def set_stream_analog_level(self, level: int):
+        self._analog_level = int(np.clip(level, 0, 255))
+
+    def recommended_stream_analog_level(self) -> int:
+        return getattr(self, "_analog_level", 255)
+
+    def proc_sample_rate_hz(self) -> int:
+        return self._geo.capture_processing_rate if self._geo else 0
+
+    def num_bands(self) -> int:
+        if not self._geo:
+            return 0
+        return self._geo.capture_processing_rate // 16000
+
+    # ------------------------------------------------------------ stats
+
+    def get_statistics(self) -> AudioProcessingStats:
+        """GetStatistics (audio_processing.h:652)."""
+        s = AudioProcessingStats()
+        if not self._last_stats:
+            return s
+        st = self._last_stats
+        if "echo_return_loss" in st:
+            s.echo_return_loss = float(st["echo_return_loss"])
+            s.echo_return_loss_enhancement = float(
+                st["echo_return_loss_enhancement"]
+            )
+            s.delay_ms = int(st["delay_ms"])
+        if self._state is not None:
+            _, avg = rms_level.average_and_peak(self._state.output_rms)
+            s.output_rms_dbfs = int(avg)
+        if "echo_likelihood" in st:
+            s.residual_echo_likelihood = float(st["echo_likelihood"])
+            s.residual_echo_likelihood_recent_max = float(
+                st["echo_likelihood_recent_max"]
+            )
+        if "agc2_speech_probability" in st:
+            s.voice_detected = bool(
+                float(st["agc2_speech_probability"]) > 0.5
+            )
+        return s

@@ -1,0 +1,384 @@
+"""AudioProcessing: the top-level APM pipeline (TPU-native).
+
+Reference: modules/audio_processing/audio_processing_impl.{h,cc} — the
+conductor that wires format negotiation, the capture pipeline
+(ProcessCaptureStreamLocked, :1264-1561) and the render pipeline
+(ProcessRenderStreamLocked, :1653-1687).
+
+TPU design (SURVEY.md section 7): one pure step per 10 ms consuming a
+PAIRED (render_frame, capture_frame); the reference's two-thread SwapQueue
+hand-off collapses into program order (render side runs first inside the
+step, exactly like EmptyQueuedRenderAudioLocked before capture processing).
+The stateful `AudioProcessing` class in api.py wraps this pure step with the
+reference's imperative interface; serving batches streams via vmap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+from flax import struct
+
+from webrtc_audio_processing_tpu import config as cfg_mod
+from webrtc_audio_processing_tpu.models import (
+    audio_buffer,
+    capture_levels_adjuster as cla,
+    echo_detector,
+    high_pass_filter as hpf,
+    noise_suppressor as ns,
+    post_filter,
+    rms_level,
+)
+from webrtc_audio_processing_tpu.models.agc2 import gain_controller2 as gc2
+from webrtc_audio_processing_tpu.models.aec3 import (
+    config as aec3_config,
+    echo_canceller3 as ec3,
+)
+from webrtc_audio_processing_tpu.ops import gain_ramp
+
+
+def suitable_process_rate(minimum_rate: int, max_splitting_rate: int,
+                          band_splitting_required: bool) -> int:
+    """SuitableProcessRate (audio_processing_impl.cc:92-107)."""
+    uppermost = max_splitting_rate if band_splitting_required else 48000
+    for rate in (16000, 32000, 48000):
+        if rate >= uppermost:
+            return uppermost
+        if rate >= minimum_rate:
+            return rate
+    return uppermost
+
+
+@dataclass(frozen=True)
+class ApmGeometry:
+    """Static processing formats (InitializeLocked, :558-692)."""
+
+    config: cfg_mod.Config
+    capture_input_rate: int
+    capture_output_rate: int
+    render_input_rate: int
+    render_output_rate: int
+    num_capture_channels: int
+    num_render_channels: int
+    capture_processing_rate: int
+    render_processing_rate: int
+    render_processing_channels: int
+    aec3: ec3.Aec3Geometry | None
+
+    @staticmethod
+    def create(
+        config: cfg_mod.Config,
+        capture_input_rate: int,
+        num_capture_channels: int = 1,
+        capture_output_rate: int | None = None,
+        render_input_rate: int | None = None,
+        num_render_channels: int = 1,
+        render_output_rate: int | None = None,
+        aec3_cfg: aec3_config.EchoCanceller3Config | None = None,
+    ) -> "ApmGeometry":
+        capture_output_rate = capture_output_rate or capture_input_rate
+        render_input_rate = render_input_rate or capture_input_rate
+        render_output_rate = render_output_rate or render_input_rate
+
+        multiband = (
+            config.noise_suppression.enabled
+            or config.echo_canceller.enabled
+            or config.gain_controller1.enabled
+            or (config.high_pass_filter.enabled
+                and not config.high_pass_filter.apply_in_full_band)
+        )
+        max_split = (
+            config.pipeline.maximum_internal_processing_rate
+            if config.pipeline.maximum_internal_processing_rate == 32000
+            else 48000
+        )
+        cap_rate = suitable_process_rate(
+            min(capture_input_rate, capture_output_rate), max_split, multiband
+        )
+        if config.echo_canceller.enabled:
+            ren_rate = cap_rate
+        else:
+            ren_rate = suitable_process_rate(
+                min(render_input_rate, render_output_rate), max_split,
+                multiband,
+            )
+        multi_render = config.pipeline.multi_channel_render
+        ren_channels = num_render_channels if multi_render else 1
+
+        aec_geo = None
+        if config.echo_canceller.enabled and not config.echo_canceller.mobile_mode:
+            acfg = aec3_cfg or (
+                aec3_config.create_default_multichannel_config()
+                if (config.pipeline.multi_channel_capture
+                    and num_capture_channels > 1)
+                else aec3_config.EchoCanceller3Config()
+            )
+            aec_geo = ec3.Aec3Geometry.create(
+                acfg, cap_rate, ren_channels,
+                num_capture_channels
+                if config.pipeline.multi_channel_capture else 1,
+            )
+
+        return ApmGeometry(
+            config=config,
+            capture_input_rate=capture_input_rate,
+            capture_output_rate=capture_output_rate,
+            render_input_rate=render_input_rate,
+            render_output_rate=render_output_rate,
+            num_capture_channels=num_capture_channels,
+            num_render_channels=num_render_channels,
+            capture_processing_rate=cap_rate,
+            render_processing_rate=ren_rate,
+            render_processing_channels=ren_channels,
+            aec3=aec_geo,
+        )
+
+    @property
+    def capture_processing_channels(self) -> int:
+        if self.config.pipeline.multi_channel_capture:
+            return self.num_capture_channels
+        return 1
+
+    def capture_buffer_config(self) -> audio_buffer.BufferConfig:
+        return audio_buffer.BufferConfig(
+            input_rate=self.capture_input_rate,
+            input_num_channels=self.num_capture_channels,
+            buffer_rate=self.capture_processing_rate,
+            buffer_num_channels=self.capture_processing_channels,
+            output_rate=self.capture_output_rate,
+            output_num_channels=self.num_capture_channels,
+            downmix_method=self.config.pipeline.capture_downmix_method,
+        )
+
+    def render_buffer_config(self) -> audio_buffer.BufferConfig:
+        return audio_buffer.BufferConfig(
+            input_rate=self.render_input_rate,
+            input_num_channels=self.num_render_channels,
+            buffer_rate=self.render_processing_rate,
+            buffer_num_channels=self.render_processing_channels,
+            output_rate=self.render_output_rate,
+            output_num_channels=self.num_render_channels,
+        )
+
+
+@struct.dataclass
+class ApmState:
+    capture_buffer: audio_buffer.AudioBufferState
+    render_buffer: audio_buffer.AudioBufferState
+    pre_amp_gain: jnp.ndarray | None  # () applied gain memory (ramping)
+    hpf: hpf.HighPassFilterState | None
+    cla: cla.CaptureLevelsAdjusterState | None
+    ns: ns.NsState | None
+    aec: ec3.EchoCanceller3State | None
+    agc2: gc2.Agc2State | None
+    pf: post_filter.PostFilterState | None
+    ed: echo_detector.EchoDetectorState | None
+    input_rms: rms_level.RmsLevelState
+    output_rms: rms_level.RmsLevelState
+    frame_parity: jnp.ndarray  # () int32 — informational; parity is static
+    was_stream_delay_set: jnp.ndarray  # () bool
+
+
+def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
+    c = geo.config
+    cap_cfg = geo.capture_buffer_config()
+    ren_cfg = geo.render_buffer_config()
+    proc_ch = geo.capture_processing_channels
+    num_bands = cap_cfg.num_bands
+    return ApmState(
+        capture_buffer=audio_buffer.init_state(cap_cfg, dtype),
+        render_buffer=audio_buffer.init_state(ren_cfg, dtype),
+        pre_amp_gain=(
+            jnp.asarray(c.pre_amplifier.fixed_gain_factor, dtype)
+            if c.pre_amplifier.enabled else None
+        ),
+        hpf=(hpf.init_state(proc_ch, dtype)
+             if c.high_pass_filter.enabled
+             or (c.echo_canceller.enabled
+                 and c.echo_canceller.enforce_high_pass_filtering)
+             else None),
+        cla=(cla.init_state(
+                c.capture_level_adjustment.pre_gain_factor,
+                c.capture_level_adjustment.post_gain_factor,
+                c.capture_level_adjustment.analog_mic_gain_emulation.initial_level,
+                c.capture_level_adjustment.analog_mic_gain_emulation.enabled,
+             ) if c.capture_level_adjustment.enabled else None),
+        ns=(ns.init_state(proc_ch, num_bands, dtype)
+            if c.noise_suppression.enabled else None),
+        aec=(ec3.init_state(geo.aec3) if geo.aec3 is not None else None),
+        agc2=(gc2.init_state(c.gain_controller2, geo.capture_processing_rate,
+                             use_internal_vad=True, dtype=dtype)
+              if c.gain_controller2.enabled else None),
+        pf=(post_filter.init_state(proc_ch, dtype)
+            if geo.capture_processing_rate >= 32000
+            and c.echo_canceller.enabled else None),
+        ed=(echo_detector.init_state(dtype)
+            if c.echo_canceller.enabled else None),
+        input_rms=rms_level.init_state(),
+        output_rms=rms_level.init_state(),
+        frame_parity=jnp.asarray(0, jnp.int32),
+        was_stream_delay_set=jnp.asarray(False),
+    )
+
+
+def process_stream_pair(
+    geo: ApmGeometry,
+    state: ApmState,
+    capture_frame,  # (capture_in_frames, C_cap) float [-1, 1]
+    render_frame=None,  # (render_in_frames, C_ren) float [-1, 1]
+    parity: int = 0,
+):
+    """One paired 10 ms step: render analysis + capture processing.
+
+    Mirrors ProcessReverseStream (audio_processing_impl.cc:1580-1687)
+    followed by ProcessStream (:927-961, ProcessCaptureStreamLocked
+    :1264-1561) in the order the reference's queues impose. Returns
+    (state, capture_out, render_out, stats dict).
+    """
+    c = geo.config
+    cap_cfg = geo.capture_buffer_config()
+    ren_cfg = geo.render_buffer_config()
+
+    stats = {}
+
+    # ---------------- Render side (ProcessRenderStreamLocked :1653-1687).
+    render_bands = None
+    render_out = render_frame
+    if render_frame is not None:
+        rbuf, r = audio_buffer.copy_from(ren_cfg, state.render_buffer,
+                                         render_frame)
+        # Echo detector render analysis (QueueNonbandedRenderAudio, :1663).
+        if state.ed is not None:
+            state = state.replace(
+                ed=echo_detector.analyze_render_audio(state.ed, r)
+            )
+        if ren_cfg.num_bands > 1:
+            rbuf, render_bands = audio_buffer.split_into_frequency_bands(
+                ren_cfg, rbuf, r
+            )
+        else:
+            render_bands = r[None]
+        # Render output is pass-through (merge of unmodified bands) unless a
+        # custom render pre-processor exists.
+        if ren_cfg.num_bands > 1:
+            rbuf, r_merged = audio_buffer.merge_frequency_bands(
+                ren_cfg, rbuf, render_bands
+            )
+        else:
+            r_merged = r
+        rbuf, render_out = audio_buffer.copy_to(ren_cfg, rbuf, r_merged)
+        state = state.replace(render_buffer=rbuf)
+
+    # ---------------- Capture side (ProcessCaptureStreamLocked :1264-1561).
+    cbuf, y = audio_buffer.copy_from(cap_cfg, state.capture_buffer,
+                                     capture_frame)
+
+    # Pre-amplifier / capture level pre-gain (:1289-1299).
+    if state.pre_amp_gain is not None:
+        g = jnp.asarray(c.pre_amplifier.fixed_gain_factor, y.dtype)
+        gains = gain_ramp.ramped_gains_scaler(state.pre_amp_gain, g,
+                                              y.shape[0], y.dtype)
+        y = jnp.clip(y * gains[:, None], -32768.0, 32767.0)
+        state = state.replace(pre_amp_gain=g)
+
+    new_cla = state.cla
+    if state.cla is not None:
+        new_cla, y = cla.apply_pre_level_adjustment(
+            state.cla, y,
+            c.capture_level_adjustment.analog_mic_gain_emulation.enabled,
+        )
+
+    # Full-band HPF (:1282-1287).
+    new_hpf = state.hpf
+    apply_hpf = state.hpf is not None
+    hpf_full_band = c.high_pass_filter.apply_in_full_band and not (
+        c.echo_canceller.enabled and cap_cfg.num_bands > 1
+    )
+    if apply_hpf and hpf_full_band and cap_cfg.num_bands == 1:
+        new_hpf, y = hpf.process(state.hpf, y, geo.capture_processing_rate)
+
+    # Input RMS (:1301-1312).
+    input_rms = rms_level.analyze(state.input_rms, y)
+
+    # Band split (:1359-1363).
+    if cap_cfg.num_bands > 1:
+        cbuf, bands = audio_buffer.split_into_frequency_bands(cap_cfg, cbuf, y)
+    else:
+        bands = y[None]
+
+    # Split-band HPF (:1375-1380).
+    if apply_hpf and not (hpf_full_band and cap_cfg.num_bands == 1):
+        new_hpf, b0 = hpf.process(state.hpf, bands[0], 16000)
+        bands = bands.at[0].set(b0)
+
+    # NS analyze (pre-AEC, :1387-1391).
+    new_ns = state.ns
+    if state.ns is not None:
+        ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
+        new_ns = ns.analyze(ns_params, state.ns, bands[0])
+
+    # AEC3 (:1407-1416).
+    new_aec = state.aec
+    linear_out = None
+    if state.aec is not None and render_bands is not None:
+        new_aec, bands, linear_out = ec3.process_frame(
+            geo.aec3, state.aec, render_bands, bands, parity
+        )
+
+    # NS process (:1423-1425).
+    if new_ns is not None:
+        ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
+        new_ns, bands = ns.process(ns_params, new_ns, bands)
+
+    # Merge bands (:1444-1448).
+    if cap_cfg.num_bands > 1:
+        cbuf, y = audio_buffer.merge_frequency_bands(cap_cfg, cbuf, bands)
+    else:
+        y = bands[0]
+
+    # Echo detector capture analysis (:1462-1465).
+    new_ed = state.ed
+    if state.ed is not None:
+        new_ed = echo_detector.analyze_capture_audio(state.ed, y)
+        stats.update(echo_detector.get_metrics(new_ed))
+
+    # AGC2 (:1472-1477).
+    new_agc2 = state.agc2
+    if state.agc2 is not None:
+        new_agc2, y, agc_info = gc2.process(
+            c.gain_controller2, state.agc2, y, geo.capture_processing_rate
+        )
+        stats.update({f"agc2_{k}": v for k, v in agc_info.items()})
+
+    # PostFilter (:1479-1481) — only at >=32 kHz with AEC3.
+    new_pf = state.pf
+    if state.pf is not None:
+        new_pf, y = post_filter.process(state.pf, y)
+
+    # Output RMS (:1487-1497).
+    output_rms = rms_level.analyze(state.output_rms, y)
+
+    # Post-gain (:1526-1538).
+    if new_cla is not None:
+        new_cla, y = cla.apply_post_level_adjustment(new_cla, y)
+
+    cbuf, out = audio_buffer.copy_to(cap_cfg, cbuf, y)
+
+    state = state.replace(
+        capture_buffer=cbuf,
+        hpf=new_hpf,
+        cla=new_cla,
+        ns=new_ns,
+        aec=new_aec,
+        agc2=new_agc2,
+        pf=new_pf,
+        ed=new_ed,
+        input_rms=input_rms,
+        output_rms=output_rms,
+        frame_parity=jnp.mod(state.frame_parity + 1, 2),
+    )
+
+    if new_aec is not None:
+        stats.update(ec3.get_metrics(geo.aec3, new_aec))
+    return state, out, render_out, stats

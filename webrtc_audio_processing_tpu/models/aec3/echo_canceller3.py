@@ -1,0 +1,282 @@
+"""EchoCanceller3: frame-level AEC3 with block pipeline.
+
+Reference: aec3/echo_canceller3.cc (frame <-> block adaptation, saturation
+detection, render queue), aec3/block_processor.cc (per-block state machine),
+aec3/frame_blocker.cc + aec3/block_framer.cc (80 <-> 64 sample rebuffering).
+
+TPU re-design: the render SwapQueue vanishes — one pure step consumes a
+paired (render_frame, capture_frame); the 2-or-3-blocks-per-frame cadence of
+the reference's sub-frame pipeline is a STATIC frame parity (the blocker
+fill level follows a deterministic period-2 cycle), so the step compiles to
+two specializations selected by the Python-side wrapper. Block loops are
+unrolled statically (2 or 3 iterations).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from webrtc_audio_processing_tpu.models.aec3 import (
+    delay_estimator as de,
+    echo_remover as er,
+    render_buffer as rb,
+)
+from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
+
+BLOCK_SIZE = 64
+FRAME_SIZE = 160
+
+
+@dataclass(frozen=True)
+class Aec3Geometry:
+    config: EchoCanceller3Config
+    sample_rate_hz: int
+    num_bands: int
+    num_render_channels: int
+    num_capture_channels: int
+    buffer: rb.BufferGeometry
+    delay: de.DelayGeometry
+
+    @staticmethod
+    def create(config: EchoCanceller3Config, sample_rate_hz: int,
+               num_render: int, num_capture: int) -> "Aec3Geometry":
+        return Aec3Geometry(
+            config=config,
+            sample_rate_hz=sample_rate_hz,
+            num_bands=sample_rate_hz // 16000,
+            num_render_channels=num_render,
+            num_capture_channels=num_capture,
+            buffer=rb.BufferGeometry.create(config, sample_rate_hz, num_render),
+            delay=de.DelayGeometry.create(config),
+        )
+
+
+@struct.dataclass
+class EchoCanceller3State:
+    buffer: rb.RenderDelayBufferState
+    delay: de.DelayEstimatorState
+    remover: er.EchoRemoverState
+    # BlockProcessor flags (block_processor.cc).
+    capture_started: jnp.ndarray  # () bool
+    render_event_pending: jnp.ndarray  # () int32
+    # Frame <-> block rebuffering carries.
+    render_blocker_carry: jnp.ndarray  # (bands, 32, C_ren)
+    capture_blocker_carry: jnp.ndarray  # (bands, 32, C_cap)
+    output_framer_carry: jnp.ndarray  # (bands, 64, C_cap)
+    linear_framer_carry: jnp.ndarray  # (64, C_cap)
+    saturated_microphone: jnp.ndarray  # () bool
+
+
+def init_state(geo: Aec3Geometry) -> EchoCanceller3State:
+    return EchoCanceller3State(
+        buffer=rb.init_state(geo.buffer, geo.config),
+        delay=de.init_state(geo.delay, geo.config, geo.num_capture_channels),
+        remover=er.init_state(geo.config, geo.num_bands,
+                              geo.num_render_channels,
+                              geo.num_capture_channels),
+        capture_started=jnp.asarray(False),
+        render_event_pending=jnp.asarray(0, jnp.int32),
+        render_blocker_carry=jnp.zeros((geo.num_bands, 32,
+                                        geo.num_render_channels)),
+        capture_blocker_carry=jnp.zeros((geo.num_bands, 32,
+                                         geo.num_capture_channels)),
+        output_framer_carry=jnp.zeros((geo.num_bands, BLOCK_SIZE,
+                                       geo.num_capture_channels)),
+        linear_framer_carry=jnp.zeros((BLOCK_SIZE, geo.num_capture_channels)),
+        saturated_microphone=jnp.asarray(False),
+    )
+
+
+def _split_blocks(frame, carry, parity: int):
+    """FrameBlocker block extraction for one 160-sample frame.
+
+    frame: (bands, 160, C); carry: (bands, 32, C) valid only entering odd
+    frames. Returns (blocks list, new_carry).
+    """
+    if parity == 0:
+        blocks = [frame[:, 0:64], frame[:, 64:128]]
+        new_carry = frame[:, 128:160]
+    else:
+        blocks = [
+            jnp.concatenate([carry, frame[:, 0:32]], axis=1),
+            frame[:, 32:96],
+            frame[:, 96:160],
+        ]
+        new_carry = jnp.zeros_like(carry)
+    return blocks, new_carry
+
+
+def _frame_from_blocks(blocks, carry, parity: int):
+    """BlockFramer sub-frame extraction (block_framer.cc).
+
+    blocks: list of (bands, 64, C); carry: (bands, 64, C) with a valid
+    prefix of 64 entering even frames and 32 entering odd frames.
+    Returns (frame (bands, 160, C), new_carry).
+    """
+    if parity == 0:
+        b1, b2 = blocks
+        frame = jnp.concatenate([carry, b1, b2[:, 0:32]], axis=1)
+        new_carry = jnp.concatenate(
+            [b2[:, 32:64], jnp.zeros_like(b2[:, 0:32])], axis=1
+        )
+    else:
+        b1, b2, b3 = blocks
+        frame = jnp.concatenate([carry[:, 0:32], b1, b2], axis=1)
+        new_carry = b3
+    return frame, new_carry
+
+
+def _detect_saturation(y):
+    """DetectSaturation (echo_canceller3.cc:48-56): any |y| >= 32700."""
+    return jnp.any(jnp.abs(y) >= 32700.0)
+
+
+def _process_capture_block(
+    geo: Aec3Geometry,
+    state: EchoCanceller3State,
+    capture_block,  # (bands, 64, C_cap)
+    echo_path_gain_change,
+):
+    """BlockProcessorImpl::ProcessCapture (block_processor.cc:84-200) for one
+    block. Returns (state, out_block, linear_block)."""
+    cfg = geo.config
+
+    # First-capture reset (block_processor.cc:102-113). Render always starts
+    # first in the paired step, so only the initial reset matters.
+    first = ~state.capture_started
+    buf_reset = rb.reset(geo.buffer, cfg, state.buffer)
+    buffer = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(first, a, b), buf_reset, state.buffer
+    )
+    delay_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(first, a, b),
+        de.reset_delay_controller(state.delay, jnp.asarray(True)), state.delay,
+    )
+
+    # Render overrun flush (block_processor.cc:119-127).
+    flush = state.render_event_pending == rb.EVENT_RENDER_OVERRUN
+    delay_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(flush, a, b),
+        de.reset_delay_controller(delay_state, jnp.asarray(True)), delay_state,
+    )
+    delay_change = flush
+
+    buffer, buf_event, _activity = rb.prepare_capture_processing(
+        geo.buffer, cfg, buffer
+    )
+    underrun = buf_event == rb.EVENT_RENDER_UNDERRUN
+    delay_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(underrun, a, b),
+        de.reset_delay_controller(delay_state, jnp.asarray(False)), delay_state,
+    )
+
+    # Delay estimation and alignment.
+    delay_state, est_delay, est_valid = de.get_delay(
+        geo.delay, cfg, delay_state, buffer.lowrate, buffer.lr_read,
+        capture_block,
+    )
+    buffer, changed = rb.align_from_delay(geo.buffer, cfg, buffer, est_delay)
+    changed = changed & est_valid
+    # AlignFromDelay is a no-op when no estimate exists yet.
+    delay_change = delay_change | changed
+
+    clock_drift = cfg.echo_removal_control.has_clock_drift | (
+        delay_state.clockdrift.level != 0
+    )
+    del clock_drift  # config-level clock drift flag is used inside remover
+
+    remover, out_block, linear = er.process_capture(
+        cfg, state.remover, geo.buffer, buffer, capture_block,
+        delay_change, echo_path_gain_change, state.saturated_microphone,
+        est_delay, est_valid,
+    )
+
+    new_state = state.replace(
+        buffer=buffer,
+        delay=delay_state,
+        remover=remover,
+        capture_started=jnp.asarray(True),
+        render_event_pending=jnp.asarray(0, jnp.int32),
+    )
+    return new_state, out_block, linear
+
+
+def process_frame(
+    geo: Aec3Geometry,
+    state: EchoCanceller3State,
+    render_frame,  # (bands, 160, C_ren) floatS16 split bands
+    capture_frame,  # (bands, 160, C_cap)
+    parity: int,  # static 0/1 frame parity
+    level_change=False,
+):
+    """One paired 10 ms frame through the AEC3 block pipeline.
+
+    Mirrors EchoCanceller3::ProcessCapture (echo_canceller3.cc:876-939) with
+    the render queue collapsed into the same step (render data is buffered
+    before the capture blocks are processed, exactly as EmptyRenderQueue
+    does). Returns (state, out_frame, linear_frame or None).
+    """
+    cfg = geo.config
+
+    # AnalyzeCapture saturation scan (echo_canceller3.cc:862-874): fullband
+    # channel-wise; band 0 carries the fullband content at 16 kHz. The
+    # saturation flag covers the whole frame.
+    saturated = _detect_saturation(capture_frame[0])
+    state = state.replace(saturated_microphone=saturated)
+
+    # Render side: block and insert.
+    r_blocks, r_carry = _split_blocks(render_frame, state.render_blocker_carry,
+                                      parity)
+    buffer = state.buffer
+    event = state.render_event_pending
+    for blk in r_blocks:
+        buffer, ev = rb.insert(geo.buffer, cfg, buffer, blk)
+        event = jnp.maximum(event, ev)
+    state = state.replace(
+        buffer=buffer, render_blocker_carry=r_carry,
+        render_event_pending=event,
+    )
+
+    # Capture side: block, process, reframe.
+    c_blocks, c_carry = _split_blocks(capture_frame,
+                                      state.capture_blocker_carry, parity)
+    out_blocks = []
+    linear_blocks = []
+    for blk in c_blocks:
+        state, out_blk, linear = _process_capture_block(
+            geo, state, blk, jnp.asarray(level_change)
+        )
+        out_blocks.append(out_blk)
+        linear_blocks.append(jnp.swapaxes(linear, 0, 1)[None])  # (1, 64, C)
+
+    out_frame, out_carry = _frame_from_blocks(out_blocks,
+                                              state.output_framer_carry,
+                                              parity)
+    linear_frame, linear_carry = _frame_from_blocks(
+        linear_blocks, state.linear_framer_carry[None], parity
+    )
+
+    state = state.replace(
+        capture_blocker_carry=c_carry,
+        output_framer_carry=out_carry,
+        linear_framer_carry=linear_carry[0],
+    )
+    return state, out_frame, linear_frame[0]
+
+
+def get_metrics(geo: Aec3Geometry, state: EchoCanceller3State):
+    """EchoCanceller3::GetMetrics via the echo remover (echo_remover.cc:228)."""
+    aec = state.remover.aec
+    erl_td = aec.erl.erl_time_domain
+    erle_log2 = aec.erle.fullband.erle_time_domain_log2
+    return {
+        "echo_return_loss": -10.0 * jnp.log10(jnp.maximum(erl_td, 1e-10)),
+        "echo_return_loss_enhancement": jnp.mean(erle_log2) * (
+            10.0 * 0.30102999566
+        ),
+        "delay_ms": rb.compute_delay(geo.buffer, state.buffer) * 4,
+    }

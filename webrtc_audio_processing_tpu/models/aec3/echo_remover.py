@@ -1,0 +1,861 @@
+"""AEC3 echo remover: subtraction -> state -> CNG -> residual -> suppression.
+
+Reference: aec3/echo_remover.cc (orchestration), comfort_noise_generator.cc,
+residual_echo_estimator.cc, suppression_gain.cc (+ dominant_nearend_
+detector.cc, moving_average.cc), suppression_filter.cc.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from webrtc_audio_processing_tpu.models.aec3 import aec_state as aecs
+from webrtc_audio_processing_tpu.models.aec3 import fft as afft
+from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
+from webrtc_audio_processing_tpu.models.aec3 import subtractor as subt
+from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
+
+NUM_BINS = 65
+BLOCK_SIZE = 64
+
+# sqrt(2)*sin(2*pi*i/32) table (comfort_noise_generator.cc:40-50).
+SQRT2_SIN = jnp.asarray(
+    (np.sqrt(2.0) * np.sin(2.0 * np.pi * np.arange(32) / 32.0)).astype(
+        np.float32
+    )
+)
+
+
+# ------------------------------------------------------------- comfort noise
+
+
+@struct.dataclass
+class ComfortNoiseState:
+    seed: jnp.ndarray  # () uint32
+    N2_initial: jnp.ndarray  # (C, 65)
+    Y2_smoothed: jnp.ndarray  # (C, 65)
+    N2: jnp.ndarray  # (C, 65)
+    N2_counter: jnp.ndarray  # () int32
+
+
+def init_comfort_noise(num_capture) -> ComfortNoiseState:
+    return ComfortNoiseState(
+        seed=jnp.asarray(42, jnp.uint32),
+        N2_initial=jnp.zeros((num_capture, NUM_BINS)),
+        Y2_smoothed=jnp.zeros((num_capture, NUM_BINS)),
+        N2=jnp.full((num_capture, NUM_BINS), 1.0e6),
+        N2_counter=jnp.asarray(0, jnp.int32),
+    )
+
+
+def comfort_noise_compute(config: EchoCanceller3Config,
+                          state: ComfortNoiseState, saturated, Y2):
+    """ComfortNoiseGenerator::Compute (comfort_noise_generator.cc:124-184).
+
+    Returns (state, N_low (C,65)c, N_high (C,65)c, N2 used (C,65)).
+    """
+    noise_floor = 64.0 * 10.0 ** (
+        (90.30899869919436 + config.comfort_noise.noise_floor_dbfs) * 0.1
+    )
+    upd = ~saturated
+    Y2s = jnp.where(upd, state.Y2_smoothed + 0.1 * (Y2 - state.Y2_smoothed),
+                    state.Y2_smoothed)
+    N2 = jnp.where(
+        upd & (state.N2_counter > 50),
+        jnp.where(
+            Y2s < state.N2,
+            (0.9 * Y2s + 0.1 * state.N2) * 1.0002,
+            state.N2 * 1.0002,
+        ),
+        state.N2,
+    )
+    counter = jnp.where(upd, state.N2_counter + 1, state.N2_counter)
+    in_initial = counter < 1000
+    N2_init = jnp.where(
+        upd & in_initial,
+        jnp.where(N2 > state.N2_initial,
+                  state.N2_initial + 0.001 * (N2 - state.N2_initial), N2),
+        state.N2_initial,
+    )
+    N2 = jnp.where(upd, jnp.maximum(N2, noise_floor), N2)
+    N2_init = jnp.where(upd & in_initial, jnp.maximum(N2_init, noise_floor),
+                        N2_init)
+
+    N2_used = jnp.where(in_initial, N2_init, N2)
+
+    # GenerateComfortNoise (:51-101): LCG random phase per bin 1..63 per ch.
+    num_capture = Y2.shape[0]
+    n_rand = num_capture * 63
+    seeds = [state.seed]
+    # seed = (seed * 69069 + 1) & 0x7fffffff, unrolled via scan.
+    def lcg(seed, _):
+        seed = (seed * jnp.uint32(69069) + jnp.uint32(1)) & jnp.uint32(
+            0x7FFFFFFF
+        )
+        return seed, seed
+    final_seed, seq = jax.lax.scan(
+        lcg, state.seed, None, length=n_rand
+    )
+    idx = (seq >> 26).astype(jnp.int32).reshape(num_capture, 63)
+    x = SQRT2_SIN[idx]
+    y = SQRT2_SIN[(idx + 8) & 31]
+
+    N = jnp.sqrt(N2_used)
+    hi_level = jnp.sum(N[:, 32:], axis=-1) * (1.0 / 34.0)
+
+    zeros = jnp.zeros((num_capture, 1))
+    N_low = jnp.concatenate(
+        [zeros, N[:, 1:64] * x, zeros], axis=1
+    ) + 1j * jnp.concatenate([zeros, N[:, 1:64] * y, zeros], axis=1)
+    N_high = jnp.concatenate(
+        [zeros, hi_level[:, None] * x, zeros], axis=1
+    ) + 1j * jnp.concatenate([zeros, hi_level[:, None] * y, zeros], axis=1)
+
+    new_state = state.replace(
+        seed=final_seed, N2_initial=N2_init, Y2_smoothed=Y2s, N2=N2,
+        N2_counter=counter,
+    )
+    del seeds
+    return new_state, N_low.astype(jnp.complex64), N_high.astype(
+        jnp.complex64
+    ), N2_used
+
+
+# -------------------------------------------------------- residual echo
+
+
+@struct.dataclass
+class ResidualEchoState:
+    echo_reverb: aecs.ReverbModelState
+    X2_noise_floor: jnp.ndarray  # (65,)
+    X2_noise_floor_counter: jnp.ndarray  # (65,) int32
+
+
+def init_residual_echo(config) -> ResidualEchoState:
+    return ResidualEchoState(
+        echo_reverb=aecs.ReverbModelState(reverb=jnp.zeros((NUM_BINS,))),
+        X2_noise_floor=jnp.full((NUM_BINS,),
+                                config.echo_model.min_noise_floor_power),
+        X2_noise_floor_counter=jnp.full(
+            (NUM_BINS,), config.echo_model.noise_floor_hold, jnp.int32
+        ),
+    )
+
+
+def residual_echo_estimate(
+    config: EchoCanceller3Config,
+    state: ResidualEchoState,
+    geo: rb.BufferGeometry,
+    buf: rb.RenderDelayBufferState,
+    aec: aecs.AecStateState,
+    S2_linear,  # (C, 65)
+    Y2,  # (C, 65)
+    dominant_nearend,
+    transparent_active,
+    filter_length_blocks,  # () int32
+):
+    """ResidualEchoEstimator::Estimate (residual_echo_estimator.cc:180-279).
+
+    Returns (state, R2 (C,65), R2_unbounded (C,65)).
+    """
+    # UpdateRenderNoisePower (:287-320).
+    X2_now = jnp.sum(rb.spectrum_at(geo, buf, 0), axis=0)  # sum over channels
+    if geo.num_channels == 1:
+        X2_now = rb.spectrum_at(geo, buf, 0)[0]
+    lower = X2_now < state.X2_noise_floor
+    inc = state.X2_noise_floor_counter >= config.echo_model.noise_floor_hold
+    floor = jnp.where(
+        lower,
+        X2_now,
+        jnp.where(
+            inc,
+            jnp.maximum(state.X2_noise_floor * 1.1,
+                        config.echo_model.min_noise_floor_power),
+            state.X2_noise_floor,
+        ),
+    )
+    floor_counter = jnp.where(
+        lower, 0,
+        jnp.where(inc, state.X2_noise_floor_counter,
+                  state.X2_noise_floor_counter + 1),
+    )
+
+    usable = aec.usable_linear_estimate
+    saturated_echo = aec.saturated_echo
+    min_delay = aec.min_filter_delay
+
+    # --- Linear branch.
+    onset_comp = (
+        config.ep_strength.erle_onset_compensation_in_dominant_nearend
+        | ~dominant_nearend
+    )
+    erle = jnp.where(
+        onset_comp, aec.erle.subband.erle_onset_compensated,
+        aec.erle.subband.erle,
+    )
+    R2_lin = S2_linear / jnp.maximum(erle, 1e-30)
+    R2_lin_unb = S2_linear / jnp.maximum(aec.erle.subband.erle_unbounded,
+                                         1e-30)
+
+    # --- Nonlinear branch.
+    gain_amp = jnp.where(
+        transparent_active, 0.01, config.ep_strength.default_gain
+    )
+    echo_path_gain = gain_amp * gain_amp
+    # EchoGeneratingPower (:119-150): max over window around the delay.
+    pre = config.echo_model.render_pre_window_size
+    post = config.echo_model.render_post_window_size
+    offsets = jnp.arange(-(pre), post + 1)
+    start = jnp.maximum(0, min_delay - pre)
+    offs = jnp.clip(min_delay + offsets, start, min_delay + post)
+    window = jax.vmap(lambda o: jnp.sum(rb.spectrum_at(geo, buf, o), axis=0))(
+        offs
+    )  # (W, 65)
+    if geo.num_channels == 1:
+        window = jax.vmap(lambda o: rb.spectrum_at(geo, buf, o)[0])(offs)
+    X2 = jnp.max(window, axis=0)
+    # ApplyNoiseGate (:105-113).
+    ng_power = config.echo_model.noise_gate_power
+    X2 = jnp.where(
+        ng_power > X2,
+        jnp.maximum(0.0, X2 - config.echo_model.noise_gate_slope *
+                    (ng_power - X2)),
+        X2,
+    )
+    X2 = jnp.maximum(
+        0.0, X2 - config.echo_model.stationary_gate_slope * floor
+    )
+    R2_nonlin = jnp.broadcast_to(X2 * echo_path_gain, S2_linear.shape)
+
+    R2 = jnp.where(usable, R2_lin, R2_nonlin)
+    R2_unbounded = jnp.where(usable, R2_lin_unb, R2_nonlin)
+    # Saturated echo: copy Y2 (both branches).
+    R2 = jnp.where(saturated_echo, Y2, R2)
+    R2_unbounded = jnp.where(saturated_echo, Y2, R2_unbounded)
+
+    # --- Reverb (UpdateReverb + AddReverb, :322-377).
+    decay = jnp.where(
+        dominant_nearend,
+        abs(config.ep_strength.nearend_len),
+        abs(config.ep_strength.default_len),
+    )
+    first_partition = jnp.where(
+        usable, filter_length_blocks + 1, min_delay + 1
+    )
+    render_power = jnp.sum(rb.spectrum_at(geo, buf, first_partition), axis=0)
+    if geo.num_channels == 1:
+        render_power = rb.spectrum_at(geo, buf, first_partition)[0]
+
+    # kLinear path uses the tail frequency response of channel 0; nonlinear
+    # uses the late-reflections gain.
+    lin_reverb = aecs.reverb_update(
+        state.echo_reverb, render_power,
+        aec.reverb_freq_response.tail_response[0], decay,
+    )
+    late_gain = jnp.where(transparent_active, 0.01,
+                          config.ep_strength.default_gain) ** 2
+    nonlin_reverb = aecs.reverb_update_no_shaping(
+        state.echo_reverb, render_power, late_gain, decay
+    )
+    add_reverb_nonlin = (
+        config.echo_model.model_reverb_in_nonlinear_mode
+        & ~transparent_active
+    )
+    reverb = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(usable, a, b),
+        lin_reverb,
+        jax.tree_util.tree_map(
+            lambda a, b: jnp.where(add_reverb_nonlin, a, b),
+            nonlin_reverb, state.echo_reverb,
+        ),
+    )
+    add = usable | add_reverb_nonlin
+    R2 = R2 + jnp.where(add, reverb.reverb, 0.0)
+    R2_unbounded = R2_unbounded + jnp.where(add, reverb.reverb, 0.0)
+
+    return (
+        state.replace(
+            echo_reverb=reverb, X2_noise_floor=floor,
+            X2_noise_floor_counter=floor_counter,
+        ),
+        R2,
+        R2_unbounded,
+    )
+
+
+# ------------------------------------------------------- suppression gain
+
+
+def _gain_parameters(config, tuning):
+    """GainParameters (suppression_gain.cc:427-450) as static arrays."""
+    last_lf = config.suppressor.last_lf_band
+    first_hf = config.suppressor.first_hf_band
+    k = np.arange(NUM_BINS, dtype=np.float32)
+    a = np.clip((k - last_lf) / float(first_hf - last_lf), 0.0, 1.0)
+    a[k <= last_lf] = 0.0
+    a[k >= first_hf] = 1.0
+    lf, hf = tuning.mask_lf, tuning.mask_hf
+    return dict(
+        enr_transparent=jnp.asarray(
+            (1 - a) * lf.enr_transparent + a * hf.enr_transparent),
+        enr_suppress=jnp.asarray(
+            (1 - a) * lf.enr_suppress + a * hf.enr_suppress),
+        emr_transparent=jnp.asarray(
+            (1 - a) * lf.emr_transparent + a * hf.emr_transparent),
+        max_inc_factor=tuning.max_inc_factor,
+        max_dec_factor_lf=tuning.max_dec_factor_lf,
+    )
+
+
+@struct.dataclass
+class SuppressionGainState:
+    last_gain: jnp.ndarray  # (65,)
+    last_nearend: jnp.ndarray  # (C, 65)
+    last_echo: jnp.ndarray  # (C, 65)
+    initial_state: jnp.ndarray  # () bool
+    initial_state_change_counter: jnp.ndarray  # () int32
+    # MovingAverage memory per channel (mem_len-1 blocks).
+    nearend_memory: jnp.ndarray  # (C, mem, 65)
+    nearend_mem_index: jnp.ndarray  # () int32
+    # LowNoiseRenderDetector.
+    average_power: jnp.ndarray  # ()
+    # DominantNearendDetector.
+    dn_trigger_counters: jnp.ndarray  # (C,) int32
+    dn_hold_counters: jnp.ndarray  # (C,) int32
+    dn_nearend_state: jnp.ndarray  # () bool
+
+
+def init_suppression_gain(config, num_capture) -> SuppressionGainState:
+    mem = max(config.suppressor.nearend_average_blocks - 1, 0)
+    return SuppressionGainState(
+        last_gain=jnp.ones((NUM_BINS,)),
+        last_nearend=jnp.zeros((num_capture, NUM_BINS)),
+        last_echo=jnp.zeros((num_capture, NUM_BINS)),
+        initial_state=jnp.asarray(True),
+        initial_state_change_counter=jnp.asarray(0, jnp.int32),
+        nearend_memory=jnp.zeros((num_capture, mem, NUM_BINS)),
+        nearend_mem_index=jnp.asarray(0, jnp.int32),
+        average_power=jnp.asarray(32768.0 * 32768.0),
+        dn_trigger_counters=jnp.zeros((num_capture,), jnp.int32),
+        dn_hold_counters=jnp.zeros((num_capture,), jnp.int32),
+        dn_nearend_state=jnp.asarray(False),
+    )
+
+
+def _weight_echo_for_audibility(config, echo):
+    """WeightEchoForAudibility (suppression_gain.cc:75-105). echo: (..., 65)."""
+    ea = config.echo_audibility
+    k = jnp.arange(NUM_BINS)
+    thr = jnp.where(
+        k < 3, ea.floor_power * ea.audibility_threshold_lf,
+        jnp.where(k < 7, ea.floor_power * ea.audibility_threshold_mf,
+                  ea.floor_power * ea.audibility_threshold_hf),
+    )
+    norm = 1.0 / (thr - ea.floor_power)
+    tmp = (thr - echo) * norm
+    return jnp.where(
+        echo < thr, echo * jnp.maximum(0.0, 1.0 - tmp * tmp), echo
+    )
+
+
+def suppression_gain_compute(
+    config: EchoCanceller3Config,
+    state: SuppressionGainState,
+    nearend_spectrum,  # (C, 65)
+    echo_spectrum,  # (C, 65)
+    R2,  # (C, 65)
+    R2_unbounded,  # (C, 65)
+    comfort_noise_spectrum,  # (C, 65)
+    narrow_peak_band,  # () int32, -1 none
+    saturated_echo,
+    render_block,  # (bands, 64, C_ren)
+    clock_drift: bool,
+):
+    """SuppressionGain::GetGain (suppression_gain.cc:452-500).
+
+    Returns (state, low_band_gain (65,), high_bands_gain ()).
+    """
+    sup = config.suppressor
+    nearend_params = _gain_parameters(config, sup.nearend_tuning)
+    normal_params = _gain_parameters(config, sup.normal_tuning)
+
+    # Dominant nearend detection (dominant_nearend_detector.cc:30-76).
+    echo_for_dn = jnp.where(
+        sup.dominant_nearend_detection.use_unbounded_echo_spectrum,
+        R2_unbounded, R2,
+    )
+    ne_sum = jnp.sum(nearend_spectrum[:, 1:16], axis=-1)
+    echo_sum = jnp.sum(echo_for_dn[:, 1:16], axis=-1)
+    noise_sum = jnp.sum(comfort_noise_spectrum[:, 1:16], axis=-1)
+    dnd = sup.dominant_nearend_detection
+    strong_ne = (
+        (~state.initial_state | dnd.use_during_initial_phase)
+        & (echo_sum < dnd.enr_threshold * ne_sum)
+        & (ne_sum > dnd.snr_threshold * noise_sum)
+    )
+    trig = jnp.where(
+        strong_ne,
+        jnp.minimum(state.dn_trigger_counters + 1, dnd.trigger_threshold),
+        jnp.maximum(state.dn_trigger_counters - 1, 0),
+    )
+    entered = strong_ne & (trig >= dnd.trigger_threshold)
+    hold = jnp.where(entered, dnd.hold_duration, state.dn_hold_counters)
+    exit_early = (echo_sum > dnd.enr_exit_threshold * ne_sum) & (
+        echo_sum > dnd.snr_threshold * noise_sum
+    )
+    hold = jnp.where(exit_early, 0, hold)
+    hold = jnp.maximum(hold - 1, 0)
+    nearend_state = jnp.any(hold > 0)
+
+    # Low-noise render detection (suppression_gain.cc:415-425).
+    x0 = render_block[0]  # (64, C_ren)
+    x2 = x0 * x0
+    x2_sum = jnp.sum(x2) / render_block.shape[2]
+    x2_max = jnp.max(x2)
+    low_noise = (state.average_power < 50.0 * 50.0 * 64.0) & (
+        x2_max < 3.0 * state.average_power
+    )
+    avg_power = state.average_power * 0.9 + x2_sum * 0.1
+
+    def sel(nearend_val, normal_val):
+        return jnp.where(nearend_state, nearend_val, normal_val)
+
+    # Nearend moving average (moving_average.cc).
+    mem = state.nearend_memory.shape[1]
+    scaling = 1.0 / (mem + 1)
+    nearend_avg = (
+        nearend_spectrum + jnp.sum(state.nearend_memory, axis=1)
+    ) * scaling
+    if mem > 0:
+        new_memory = jnp.where(
+            (jnp.arange(mem) == state.nearend_mem_index)[None, :, None],
+            nearend_spectrum[:, None, :],
+            state.nearend_memory,
+        )
+        mem_index = jnp.mod(state.nearend_mem_index + 1, mem)
+    else:
+        new_memory = state.nearend_memory
+        mem_index = state.nearend_mem_index
+
+    weighted_echo = _weight_echo_for_audibility(config, R2)
+
+    # GetMaxGain.
+    inc = sel(nearend_params["max_inc_factor"], normal_params["max_inc_factor"])
+    max_gain = jnp.clip(
+        jnp.maximum(state.last_gain * inc, sup.floor_first_increase), None, 1.0
+    )
+
+    # GetMinGain per channel.
+    min_echo_power = jnp.where(
+        low_noise, config.echo_audibility.low_render_limit,
+        config.echo_audibility.normal_render_limit,
+    )
+    min_gain = jnp.where(
+        weighted_echo > 0.0,
+        jnp.minimum(min_echo_power / jnp.maximum(weighted_echo, 1e-30), 1.0),
+        1.0,
+    )
+    dec = sel(nearend_params["max_dec_factor_lf"],
+              normal_params["max_dec_factor_lf"])
+    k = jnp.arange(NUM_BINS)
+    lf_smooth_on = (
+        ~state.initial_state | sup.lf_smoothing_during_initial_phase
+    )
+    lf_band = k <= sup.last_lf_smoothing_band
+    cond = (state.last_nearend > state.last_echo) | (
+        k[None, :] <= sup.last_permanent_lf_smoothing_band
+    )
+    smooth = lf_smooth_on & lf_band[None, :] & cond
+    min_gain = jnp.where(
+        smooth,
+        jnp.minimum(jnp.maximum(min_gain, state.last_gain[None, :] * dec), 1.0),
+        min_gain,
+    )
+    min_gain = jnp.where(saturated_echo, 0.0, min_gain)
+
+    # GainToNoAudibleEcho per channel.
+    enr = weighted_echo / (nearend_avg + 1.0)
+    emr = weighted_echo / (comfort_noise_spectrum[0][None, :] + 1.0)
+    enr_t = sel(nearend_params["enr_transparent"],
+                normal_params["enr_transparent"])
+    enr_s = sel(nearend_params["enr_suppress"], normal_params["enr_suppress"])
+    emr_t = sel(nearend_params["emr_transparent"],
+                normal_params["emr_transparent"])
+    g = jnp.where(
+        (enr > enr_t) & (emr > emr_t),
+        jnp.maximum(
+            (enr_s - enr) / jnp.maximum(enr_s - enr_t, 1e-10),
+            emr_t / jnp.maximum(emr, 1e-30),
+        ),
+        1.0,
+    )
+    g = jnp.clip(g, min_gain, max_gain[None, :])
+    gain = jnp.min(g, axis=0)  # min across channels
+
+    # LimitLowFrequencyGains (suppression_gain.cc:28-32).
+    g01 = jnp.minimum(gain[1], gain[2])
+    gain = gain.at[0].set(g01).at[1].set(g01)
+
+    # LimitHighFrequencyGains (:34-71).
+    lim_band = sup.high_frequency_suppression.limiting_gain_band
+    n_lim = sup.high_frequency_suppression.bands_in_limiting_gain
+    limited = gain
+    if n_lim > 0:
+        min_upper = jnp.min(
+            jax.lax.dynamic_slice(gain, (lim_band,), (n_lim,))
+        )
+        min_upper = jnp.minimum(min_upper, 1.0)
+        limited = jnp.where(k > lim_band, jnp.minimum(gain, min_upper), gain)
+    limited = limited.at[64].set(limited[63])
+    apply_hf_limit = (
+        ~nearend_state | jnp.asarray(clock_drift)
+        | jnp.asarray(sup.conservative_hf_suppression)
+    )
+    gain = jnp.where(apply_hf_limit, limited, gain)
+
+    new_state = state.replace(
+        last_gain=gain,
+        last_nearend=nearend_avg,
+        last_echo=weighted_echo,
+        nearend_memory=new_memory,
+        nearend_mem_index=mem_index,
+        average_power=avg_power,
+        dn_trigger_counters=trig,
+        dn_hold_counters=hold,
+        dn_nearend_state=nearend_state,
+    )
+
+    amp_gain = jnp.sqrt(jnp.maximum(gain, 0.0))
+
+    # UpperBandsGain (suppression_gain.cc:112-190).
+    num_bands = render_block.shape[0]
+    if num_bands == 1:
+        high_gain = jnp.asarray(1.0)
+    else:
+        narrow = (narrow_peak_band >= 0) & (narrow_peak_band > NUM_BINS - 10)
+        gain_below_8 = jnp.min(amp_gain[32:])
+        low_energy = jnp.max(jnp.sum(render_block[0] ** 2, axis=0))
+        high_energy = jnp.max(jnp.sum(render_block[1:] ** 2, axis=1))
+        act_thr = (
+            BLOCK_SIZE
+            * sup.high_bands_suppression.anti_howling_activation_threshold
+        )
+        anti_howl = jnp.where(
+            high_energy < jnp.maximum(low_energy, act_thr),
+            1.0,
+            sup.high_bands_suppression.anti_howling_gain
+            * jnp.sqrt(low_energy / jnp.maximum(high_energy, 1e-10)),
+        )
+        echo_lf = jnp.sum(echo_spectrum[:, 1:16], axis=-1)
+        noise_lf = jnp.sum(comfort_noise_spectrum[:, 1:16], axis=-1)
+        bound = jnp.where(
+            ~nearend_state
+            & jnp.any(
+                echo_lf > sup.high_bands_suppression.enr_threshold * noise_lf
+            ),
+            sup.high_bands_suppression.max_gain_during_echo,
+            1.0,
+        )
+        high_gain = jnp.minimum(jnp.minimum(gain_below_8, anti_howl), bound)
+        high_gain = jnp.where(saturated_echo,
+                              jnp.minimum(0.001, gain_below_8), high_gain)
+        high_gain = jnp.where(narrow, 0.001, high_gain)
+
+    return new_state, amp_gain, high_gain
+
+
+def set_initial_state(config, state: SuppressionGainState, value):
+    """SuppressionGain::SetInitialState (suppression_gain.cc:502-509)."""
+    return state.replace(
+        initial_state=value,
+        initial_state_change_counter=jnp.where(
+            value, config.filter.config_change_duration_blocks, 0
+        ),
+    )
+
+
+# ------------------------------------------------------ suppression filter
+
+
+@struct.dataclass
+class SuppressionFilterState:
+    e_output_old: jnp.ndarray  # (bands, C, 64)
+
+
+def init_suppression_filter(num_bands, num_capture) -> SuppressionFilterState:
+    return SuppressionFilterState(
+        e_output_old=jnp.zeros((num_bands, num_capture, BLOCK_SIZE))
+    )
+
+
+def suppression_filter_apply(
+    state: SuppressionFilterState,
+    comfort_noise,  # (C, 65) complex
+    comfort_noise_high,  # (C, 65) complex
+    gain,  # (65,)
+    high_bands_gain,  # ()
+    E_lowest,  # (C, 65) complex
+    e_block,  # (bands, 64, C) time-domain capture to modify
+):
+    """SuppressionFilter::ApplyGain (suppression_filter.cc:77-180)."""
+    num_bands = e_block.shape[0]
+    noise_gain = jnp.sqrt(jnp.maximum(1.0 - gain * gain, 0.0))
+    hb_noise_scale = 0.4 * jnp.sqrt(
+        jnp.maximum(1.0 - high_bands_gain * high_bands_gain, 0.0)
+    )
+
+    E = E_lowest * gain + noise_gain * comfort_noise  # (C, 65)
+    e_ext = afft.ifft_unnormalized(E)  # (C, 128)
+    k_norm = 2.0 / 128.0
+    win = afft.SQRT_HANNING128
+    e0 = (
+        state.e_output_old[0] * win[64:]
+        + e_ext[:, :64] * win[:64]
+    ) * k_norm
+    new_old_0 = e_ext[:, 64:]
+
+    out_bands = [jnp.swapaxes(e0, 0, 1)]  # (64, C)
+    new_old = [new_old_0]
+    if num_bands > 1:
+        for b in range(1, num_bands):
+            eb = jnp.swapaxes(e_block[b], 0, 1) * high_bands_gain  # (C, 64)
+            if b == 1:
+                hb_noise = afft.ifft_unnormalized(comfort_noise_high)[:, :64]
+                eb = eb + hb_noise * (hb_noise_scale * k_norm)
+            # Delay upper bands one block (std::swap with the old buffer).
+            out_bands.append(jnp.swapaxes(state.e_output_old[b], 0, 1))
+            new_old.append(eb)
+
+    out = jnp.stack(
+        [jnp.clip(b, -32768.0, 32767.0) for b in out_bands], axis=0
+    )
+    return (
+        SuppressionFilterState(e_output_old=jnp.stack(new_old, axis=0)),
+        out,
+    )
+
+
+# ----------------------------------------------------------- echo remover
+
+
+@struct.dataclass
+class EchoRemoverState:
+    subtractor: subt.SubtractorState
+    analyzer: subt.RenderSignalAnalyzerState
+    aec: aecs.AecStateState
+    cng: ComfortNoiseState
+    residual: ResidualEchoState
+    supp_gain: SuppressionGainState
+    supp_filter: SuppressionFilterState
+    e_old: jnp.ndarray  # (C, 64)
+    y_old: jnp.ndarray  # (C, 64)
+    gain_change_hangover: jnp.ndarray  # () int32
+    refined_last_selected: jnp.ndarray  # (C,) bool
+
+
+def init_state(config: EchoCanceller3Config, num_bands, num_render,
+               num_capture) -> EchoRemoverState:
+    sub_state = subt.init_state(config, num_render, num_capture)
+    p_max = sub_state.refined.H.shape[1]
+    return EchoRemoverState(
+        subtractor=sub_state,
+        analyzer=subt.init_analyzer(),
+        aec=aecs.init_state(config, num_capture, p_max),
+        cng=init_comfort_noise(num_capture),
+        residual=init_residual_echo(config),
+        supp_gain=init_suppression_gain(config, num_capture),
+        supp_filter=init_suppression_filter(num_bands, num_capture),
+        e_old=jnp.zeros((num_capture, BLOCK_SIZE)),
+        y_old=jnp.zeros((num_capture, BLOCK_SIZE)),
+        gain_change_hangover=jnp.asarray(0, jnp.int32),
+        refined_last_selected=jnp.ones((num_capture,), bool),
+    )
+
+
+_TRANSITION = jnp.concatenate([
+    (jnp.arange(1, 31) / 31.0),
+    jnp.ones((34,)),
+])
+
+
+def _form_linear_filter_output(config, last_refined, out):
+    """FormLinearFilterOutput (echo_remover.cc:452-489). Per channel."""
+    e_ref, e_coa = out["e_refined"], out["e_coarse"]
+    if config.filter.enable_coarse_filter_output_usage:
+        prefer_coarse = (
+            (out["e2_coarse"] < 0.9 * out["e2_refined"])
+            & (out["y2"] > 30.0 * 30.0 * BLOCK_SIZE)
+            & ((out["s2_refined"] > 60.0 * 60.0 * BLOCK_SIZE)
+               | (out["s2_coarse"] > 60.0 * 60.0 * BLOCK_SIZE))
+        )
+        diverged = (out["e2_coarse"] < out["e2_refined"]) & (
+            out["y2"] < out["e2_refined"]
+        )
+        use_refined = ~(prefer_coarse | (~prefer_coarse & diverged))
+    else:
+        use_refined = jnp.ones_like(last_refined)
+
+    from_sig = jnp.where(last_refined[:, None], e_ref, e_coa)
+    to_sig = jnp.where(use_refined[:, None], e_ref, e_coa)
+    same = last_refined == use_refined
+    blended = _TRANSITION[None, :] * to_sig + (
+        1.0 - _TRANSITION[None, :]
+    ) * from_sig
+    e = jnp.where(same[:, None], to_sig, blended)
+    return e, use_refined
+
+
+def process_capture(
+    config: EchoCanceller3Config,
+    state: EchoRemoverState,
+    geo: rb.BufferGeometry,
+    buf: rb.RenderDelayBufferState,
+    capture_block,  # (bands, 64, C)
+    delay_change,  # () bool (echo path variability)
+    gain_change,  # () bool
+    capture_signal_saturation,  # () bool
+    external_delay,  # () int32
+    external_delay_valid,  # () bool
+):
+    """EchoRemoverImpl::ProcessCapture (echo_remover.cc:236-450).
+
+    Returns (state, output_block (bands, 64, C), linear_output (C, 64)).
+    """
+    y0 = jnp.swapaxes(capture_block[0], 0, 1)  # (C, 64)
+    x_block = rb.block_at(geo, buf, 0)
+
+    # Gain-change hangover: act once per frame (echo_remover.cc:317-333).
+    gain_change = gain_change & (state.gain_change_hangover == 0)
+    hangover = jnp.where(
+        gain_change, 3, jnp.maximum(state.gain_change_hangover - 1, 0)
+    )
+    state = state.replace(gain_change_hangover=hangover)
+
+    aec = state.aec.replace(capture_signal_saturation=capture_signal_saturation)
+    path_changed = delay_change | gain_change
+    sub_state = subt.handle_echo_path_change(
+        config, state.subtractor, delay_change, gain_change
+    )
+    aec = aecs.handle_echo_path_change(config, aec, delay_change, gain_change)
+    supp_gain_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(delay_change, a, b),
+        set_initial_state(config, state.supp_gain, jnp.asarray(True)),
+        state.supp_gain,
+    )
+    del path_changed
+
+    # Render signal analysis.
+    analyzer = subt.analyzer_update(
+        config, state.analyzer, geo, buf, aec.min_filter_delay,
+        jnp.asarray(True),
+    )
+
+    # Initial-state transition (echo_remover.cc:344-348) uses last block's
+    # transition flag.
+    transition = aec.transition_triggered
+    sub_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(transition, a, b),
+        subt.exit_initial_state(config, sub_state), sub_state,
+    )
+    supp_gain_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(transition, a, b),
+        set_initial_state(config, supp_gain_state, jnp.asarray(False)),
+        supp_gain_state,
+    )
+
+    # Linear echo cancellation.
+    p_ref_max = sub_state.refined.H.shape[1]
+    X_window = rb.fft_window(geo, buf, p_ref_max)
+    # Spectral sums masked to the active partition counts.
+    spectra_win = rb.spectrum_window(geo, buf, p_ref_max)  # (P, C, 65)
+    pidx = jnp.arange(p_ref_max)
+    X2_refined = jnp.sum(
+        jnp.where(
+            (pidx < sub_state.refined.current_size)[:, None, None],
+            spectra_win, 0.0,
+        ),
+        axis=(0, 1),
+    )
+    X2_coarse = jnp.sum(
+        jnp.where(
+            (pidx < sub_state.coarse.current_size)[:, None, None],
+            spectra_win, 0.0,
+        ),
+        axis=(0, 1),
+    )
+    sub_state, sub_out = subt.process(
+        config, sub_state, X_window, X2_refined, X2_coarse, y0, analyzer,
+        capture_signal_saturation,
+    )
+
+    # Linear filter output + spectra (echo_remover.cc:352-371).
+    e, use_refined = _form_linear_filter_output(
+        config, state.refined_last_selected, sub_out
+    )
+    Y = afft.padded_fft(y0, state.y_old, "sqrt_hanning")
+    E = afft.padded_fft(e, state.e_old, "sqrt_hanning")
+    S2_linear = afft.spectrum(Y - E)
+    Y2 = afft.spectrum(Y)
+    E2 = afft.spectrum(E)
+
+    # AEC state update.
+    aec = aecs.update(
+        config, aec, geo, buf, external_delay, external_delay_valid,
+        sub_state.refined_frequency_responses,
+        sub_state.refined_impulse_responses,
+        sub_state.refined.current_size,
+        E2, Y2, sub_out,
+    )
+
+    nearend_spectrum = jnp.where(aec.usable_linear_estimate, E2, Y2)
+    Y_fft = jnp.where(aec.usable_linear_estimate, E, Y)
+
+    # Comfort noise.
+    cng_state, N_low, N_high, N2 = comfort_noise_compute(
+        config, state.cng, aec.capture_signal_saturation, nearend_spectrum
+    )
+
+    # Residual echo.
+    transparent = aecs.transparent_mode_active(config, aec)
+    residual_state, R2, R2_unbounded = residual_echo_estimate(
+        config, state.residual, geo, buf, aec, S2_linear, Y2,
+        state.supp_gain.dn_nearend_state, transparent,
+        sub_state.refined.current_size,
+    )
+
+    # Suppressor nearend bound (E2 <= Y2 when linear usable).
+    E2_bounded = jnp.minimum(E2, Y2)
+    nearend_for_gain = jnp.where(
+        aec.usable_linear_estimate, E2_bounded, Y2
+    )
+    echo_spectrum = jnp.where(aec.usable_linear_estimate, S2_linear, R2)
+
+    clock_drift = config.echo_removal_control.has_clock_drift
+
+    supp_gain_state, G, high_gain = suppression_gain_compute(
+        config, supp_gain_state, nearend_for_gain, echo_spectrum, R2,
+        R2_unbounded, N2, analyzer.narrow_peak_band, aec.saturated_echo,
+        x_block, clock_drift,
+    )
+
+    supp_filter_state, out = suppression_filter_apply(
+        state.supp_filter, N_low, N_high, G, high_gain, Y_fft, capture_block
+    )
+
+    new_state = EchoRemoverState(
+        subtractor=sub_state,
+        analyzer=analyzer,
+        aec=aec,
+        cng=cng_state,
+        residual=residual_state,
+        supp_gain=supp_gain_state,
+        supp_filter=supp_filter_state,
+        e_old=e,
+        y_old=y0,
+        gain_change_hangover=hangover,
+        refined_last_selected=use_refined,
+    )
+    return new_state, out, e

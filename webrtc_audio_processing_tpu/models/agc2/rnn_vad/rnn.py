@@ -59,18 +59,18 @@ def _load_weights():
         # rnn_gru.cc PreprocessGruTensor: [i*3*out + g*out + o] -> (3, n, out).
         return (w.astype(np.float32) * s).reshape(n, 3, out_size).transpose(1, 0, 2)
 
+    # Cache plain numpy (never jnp: arrays created while tracing would cache
+    # tracers and leak across jit boundaries); get_weights converts per call.
     return {
-        "fc1_w": jnp.asarray(fc(raw["input_weights"], INPUT_SIZE, HIDDEN_SIZE)),
-        "fc1_b": jnp.asarray(raw["input_bias"].astype(np.float32) * s),
-        "gru_w": jnp.asarray(gru(raw["gru_weights"], HIDDEN_SIZE, HIDDEN_SIZE)),
-        "gru_r": jnp.asarray(
-            gru(raw["gru_recurrent_weights"], HIDDEN_SIZE, HIDDEN_SIZE)
+        "fc1_w": fc(raw["input_weights"], INPUT_SIZE, HIDDEN_SIZE),
+        "fc1_b": raw["input_bias"].astype(np.float32) * s,
+        "gru_w": gru(raw["gru_weights"], HIDDEN_SIZE, HIDDEN_SIZE),
+        "gru_r": gru(raw["gru_recurrent_weights"], HIDDEN_SIZE, HIDDEN_SIZE),
+        "gru_b": (raw["gru_bias"].astype(np.float32) * s).reshape(
+            3, HIDDEN_SIZE
         ),
-        "gru_b": jnp.asarray(
-            (raw["gru_bias"].astype(np.float32) * s).reshape(3, HIDDEN_SIZE)
-        ),
-        "fc2_w": jnp.asarray(raw["output_weights"].astype(np.float32) * s),
-        "fc2_b": jnp.asarray(raw["output_bias"].astype(np.float32) * s),
+        "fc2_w": raw["output_weights"].astype(np.float32) * s,
+        "fc2_b": raw["output_bias"].astype(np.float32) * s,
     }
 
 
@@ -81,7 +81,7 @@ def get_weights():
     global _WEIGHTS_CACHE
     if _WEIGHTS_CACHE is None:
         _WEIGHTS_CACHE = _load_weights()
-    return _WEIGHTS_CACHE
+    return {k: jnp.asarray(v) for k, v in _WEIGHTS_CACHE.items()}
 
 
 @struct.dataclass
