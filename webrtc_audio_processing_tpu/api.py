@@ -225,9 +225,19 @@ class AudioProcessing:
         self._key_pressed = key_pressed
 
     def set_stream_analog_level(self, level: int):
+        """set_stream_analog_level (audio_processing.h:590-596)."""
         self._analog_level = int(np.clip(level, 0, 255))
+        if self._state is not None and self._state.agc1 is not None:
+            from webrtc_audio_processing_tpu.models.agc1 import gain_control
+            self._state = self._state.replace(
+                agc1=gain_control.set_stream_analog_level(
+                    self._state.agc1, self._analog_level
+                )
+            )
 
     def recommended_stream_analog_level(self) -> int:
+        if self._last_stats and "agc1_recommended_level" in self._last_stats:
+            return int(self._last_stats["agc1_recommended_level"])
         return getattr(self, "_analog_level", 255)
 
     def proc_sample_rate_hz(self) -> int:

@@ -30,6 +30,7 @@ from webrtc_audio_processing_tpu.models import (
     post_filter,
     rms_level,
 )
+from webrtc_audio_processing_tpu.models.agc1 import gain_control as gc1
 from webrtc_audio_processing_tpu.models.agc2 import gain_controller2 as gc2
 from webrtc_audio_processing_tpu.models.aec3 import (
     config as aec3_config,
@@ -170,6 +171,7 @@ class ApmState:
     hpf: hpf.HighPassFilterState | None
     cla: cla.CaptureLevelsAdjusterState | None
     ns: ns.NsState | None
+    agc1: gc1.GainControlState | None
     aec: ec3.EchoCanceller3State | None
     agc2: gc2.Agc2State | None
     pf: post_filter.PostFilterState | None
@@ -206,6 +208,11 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
              ) if c.capture_level_adjustment.enabled else None),
         ns=(ns.init_state(proc_ch, num_bands, dtype)
             if c.noise_suppression.enabled else None),
+        agc1=(gc1.init_state(
+                gc1.make_config(c.gain_controller1,
+                                min(geo.capture_processing_rate, 16000)),
+                proc_ch,
+             ) if c.gain_controller1.enabled else None),
         aec=(ec3.init_state(geo.aec3) if geo.aec3 is not None else None),
         agc2=(gc2.init_state(c.gain_controller2, geo.capture_processing_rate,
                              use_internal_vad=True, dtype=dtype)
@@ -259,6 +266,17 @@ def process_stream_pair(
             )
         else:
             render_bands = r[None]
+        # AGC1 far-end analysis from the packed mono band-0 render
+        # (QueueBandedRenderAudio :1671, GainControlImpl::PackRenderAudioBuffer).
+        if state.agc1 is not None:
+            agc1_cfg = gc1.make_config(
+                c.gain_controller1, min(geo.capture_processing_rate, 16000)
+            )
+            far = jnp.trunc(jnp.clip(jnp.mean(render_bands[0], axis=-1),
+                                     -32768.0, 32767.0)).astype(jnp.int32)
+            state = state.replace(
+                agc1=gc1.process_render_audio(agc1_cfg, state.agc1, far)
+            )
         # Render output is pass-through (merge of unmodified bands) unless a
         # custom render pre-processor exists.
         if ren_cfg.num_bands > 1:
@@ -312,6 +330,21 @@ def process_stream_pair(
         new_hpf, b0 = hpf.process(state.hpf, bands[0], 16000)
         bands = bands.at[0].set(b0)
 
+    # AGC1 analyze (:1382-1385) in the int16 domain.
+    new_agc1 = state.agc1
+    agc1_cfg = None
+    if state.agc1 is not None:
+        agc1_cfg = gc1.make_config(
+            c.gain_controller1, min(geo.capture_processing_rate, 16000)
+        )
+        bands_i = jnp.trunc(jnp.clip(bands, -32768.0, 32767.0)).astype(
+            jnp.int32
+        )
+        new_agc1, bands_i = gc1.analyze_capture_audio(
+            agc1_cfg, state.agc1, bands_i
+        )
+        bands = bands_i.astype(bands.dtype)
+
     # NS analyze (pre-AEC, :1387-1391).
     new_ns = state.ns
     if state.ns is not None:
@@ -330,6 +363,18 @@ def process_stream_pair(
     if new_ns is not None:
         ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
         new_ns, bands = ns.process(ns_params, new_ns, bands)
+
+    # AGC1 process (:1438-1442).
+    if new_agc1 is not None:
+        bands_i = jnp.trunc(jnp.clip(bands, -32768.0, 32767.0)).astype(
+            jnp.int32
+        )
+        new_agc1, bands_i = gc1.process_capture_audio(
+            agc1_cfg, new_agc1, bands_i, jnp.asarray(False)
+        )
+        bands = bands_i.astype(bands.dtype)
+        stats["agc1_recommended_level"] = new_agc1.analog_level
+        stats["agc1_saturation_warning"] = new_agc1.saturation_warning
 
     # Merge bands (:1444-1448).
     if cap_cfg.num_bands > 1:
@@ -370,6 +415,7 @@ def process_stream_pair(
         hpf=new_hpf,
         cla=new_cla,
         ns=new_ns,
+        agc1=new_agc1,
         aec=new_aec,
         agc2=new_agc2,
         pf=new_pf,
