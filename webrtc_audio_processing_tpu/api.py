@@ -120,12 +120,22 @@ class AudioProcessing:
         geo = self._geo
 
         def make(parity):
-            def fn(state, cap, ren):
-                return apm.process_stream_pair(geo, state, cap, ren, parity)
+            def fn(state, cap, ren, delay_ms):
+                return apm.process_stream_pair(
+                    geo, state, cap, ren, parity, stream_delay_ms=delay_ms
+                )
 
             return jax.jit(fn)
 
-        self._steps = [make(0), make(1)]
+        # The parity cycle covers both the AEC3 80<->64 rebuffering (period
+        # 2) and AECM's frame->block cycle (period 2 at 16 kHz, 4 at 8 kHz).
+        period = 2
+        if geo.aecm is not None:
+            import math as _math
+
+            period = _math.lcm(period, geo.aecm.period)
+        self._parity_period = period
+        self._steps = [make(p) for p in range(period)]
         self._frame_index = 0
         self._render_queue.clear()
 
@@ -140,7 +150,7 @@ class AudioProcessing:
         frame (SwapQueue semantics, drained synchronously on overflow like
         audio_processing_impl.cc:1107-1115).
         """
-        render = np.atleast_2d(np.asarray(render, np.float32))
+        render = np.asarray(render, np.float32)
         if render.ndim == 1:
             render = render[:, None]
         if len(self._render_queue) >= RENDER_QUEUE_SIZE_FRAMES:
@@ -188,9 +198,10 @@ class AudioProcessing:
 
         import jax.numpy as jnp
 
-        step = self._steps[self._frame_index % 2]
+        step = self._steps[self._frame_index % self._parity_period]
         self._state, out, _ren_out, stats = step(
-            self._state, jnp.asarray(capture), jnp.asarray(render)
+            self._state, jnp.asarray(capture), jnp.asarray(render),
+            jnp.asarray(self._stream_delay_ms, jnp.int32),
         )
         self._frame_index += 1
         self._last_stats = stats

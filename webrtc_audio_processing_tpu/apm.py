@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -35,6 +36,9 @@ from webrtc_audio_processing_tpu.models.agc2 import gain_controller2 as gc2
 from webrtc_audio_processing_tpu.models.aec3 import (
     config as aec3_config,
     echo_canceller3 as ec3,
+)
+from webrtc_audio_processing_tpu.models.aecm import (
+    echo_control_mobile as ecm,
 )
 from webrtc_audio_processing_tpu.ops import gain_ramp
 
@@ -66,6 +70,7 @@ class ApmGeometry:
     render_processing_rate: int
     render_processing_channels: int
     aec3: ec3.Aec3Geometry | None
+    aecm: ecm.AecmGeometry | None = None
 
     @staticmethod
     def create(
@@ -121,6 +126,17 @@ class ApmGeometry:
                 if config.pipeline.multi_channel_capture else 1,
             )
 
+        aecm_geo = None
+        if config.echo_canceller.enabled and config.echo_canceller.mobile_mode:
+            # EchoControlMobileImpl defaults: Speakerphone routing, comfort
+            # noise off (echo_control_mobile_impl.cc:108-109); runs on split
+            # band 0 only.
+            aecm_geo = ecm.AecmGeometry(
+                sample_rate_hz=min(cap_rate, 16000),
+                echo_mode=3,
+                cng=False,
+            )
+
         return ApmGeometry(
             config=config,
             capture_input_rate=capture_input_rate,
@@ -133,6 +149,7 @@ class ApmGeometry:
             render_processing_rate=ren_rate,
             render_processing_channels=ren_channels,
             aec3=aec_geo,
+            aecm=aecm_geo,
         )
 
     @property
@@ -173,6 +190,7 @@ class ApmState:
     ns: ns.NsState | None
     agc1: gc1.GainControlState | None
     aec: ec3.EchoCanceller3State | None
+    aecm: ecm.AecmState | None
     agc2: gc2.Agc2State | None
     pf: post_filter.PostFilterState | None
     ed: echo_detector.EchoDetectorState | None
@@ -180,6 +198,17 @@ class ApmState:
     output_rms: rms_level.RmsLevelState
     frame_parity: jnp.ndarray  # () int32 — informational; parity is static
     was_stream_delay_set: jnp.ndarray  # () bool
+
+
+def _init_aecm_states(geo: ApmGeometry):
+    """One AECM canceller per (capture, render) channel pair, stacked on a
+    leading axis in capture-major order
+    (EchoControlMobileImpl::NumCancellersRequired, handle_index layout)."""
+    one = ecm.init_state(geo.aecm)
+    n = geo.capture_processing_channels * geo.render_processing_channels
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), one
+    )
 
 
 def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
@@ -214,6 +243,7 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
                 proc_ch,
              ) if c.gain_controller1.enabled else None),
         aec=(ec3.init_state(geo.aec3) if geo.aec3 is not None else None),
+        aecm=(_init_aecm_states(geo) if geo.aecm is not None else None),
         agc2=(gc2.init_state(c.gain_controller2, geo.capture_processing_rate,
                              use_internal_vad=True, dtype=dtype)
               if c.gain_controller2.enabled else None),
@@ -235,6 +265,7 @@ def process_stream_pair(
     capture_frame,  # (capture_in_frames, C_cap) float [-1, 1]
     render_frame=None,  # (render_in_frames, C_ren) float [-1, 1]
     parity: int = 0,
+    stream_delay_ms=0,  # () int32 — used by AECM's far fetch
 ):
     """One paired 10 ms step: render analysis + capture processing.
 
@@ -276,6 +307,19 @@ def process_stream_pair(
                                      -32768.0, 32767.0)).astype(jnp.int32)
             state = state.replace(
                 agc1=gc1.process_render_audio(agc1_cfg, state.agc1, far)
+            )
+        # AECM far-end buffering: canceller (i, j) receives render channel
+        # j's band 0 in int16, capture-major handle order
+        # (EchoControlMobileImpl::PackRenderAudioBuffer, :131-156).
+        if state.aecm is not None:
+            far = jnp.trunc(
+                jnp.clip(render_bands[0], -32768.0, 32767.0)
+            ).astype(jnp.int32)  # (N, C_ren)
+            far_per = jnp.tile(
+                far.T, (geo.capture_processing_channels, 1)
+            )
+            state = state.replace(
+                aecm=jax.vmap(ecm.buffer_farend)(state.aecm, far_per)
             )
         # Render output is pass-through (merge of unmodified bands) unless a
         # custom render pre-processor exists.
@@ -356,8 +400,37 @@ def process_stream_pair(
     linear_out = None
     if state.aec is not None and render_bands is not None:
         new_aec, bands, linear_out = ec3.process_frame(
-            geo.aec3, state.aec, render_bands, bands, parity
+            geo.aec3, state.aec, render_bands, bands, parity % 2
         )
+
+    # AECM (mobile mode, :1407-1416 via EchoControlMobileImpl). Runs on
+    # band 0 only; cancellers cascade over render channels and the upper
+    # bands are zeroed (echo_control_mobile_impl.cc:165-226).
+    new_aecm = state.aecm
+    if state.aecm is not None:
+        ag = geo.aecm
+        p = parity % ag.period
+        c_cap = geo.capture_processing_channels
+        c_ren = geo.render_processing_channels
+        delay = (jnp.asarray(stream_delay_ms, jnp.int32)
+                 * (ag.sample_rate_hz // 1000))
+        x = jnp.trunc(jnp.clip(bands[0], -32768.0, 32767.0)).astype(
+            jnp.int32
+        ).T  # (C_cap, N)
+
+        def _one(s, xi):
+            return ecm.process_frame(ag, s, xi, p, delay)
+
+        for j in range(c_ren):
+            idx = jnp.arange(c_cap) * c_ren + j
+            st_j = jax.tree_util.tree_map(lambda a, i=idx: a[i], new_aecm)
+            st_j, x = jax.vmap(_one)(st_j, x)
+            new_aecm = jax.tree_util.tree_map(
+                lambda a, b, i=idx: a.at[i].set(b), new_aecm, st_j
+            )
+        bands = bands.at[0].set(x.T.astype(bands.dtype))
+        if cap_cfg.num_bands > 1:
+            bands = bands.at[1:].set(0.0)
 
     # NS process (:1423-1425).
     if new_ns is not None:
@@ -417,6 +490,7 @@ def process_stream_pair(
         ns=new_ns,
         agc1=new_agc1,
         aec=new_aec,
+        aecm=new_aecm,
         agc2=new_agc2,
         pf=new_pf,
         ed=new_ed,
