@@ -64,7 +64,10 @@ class TestBiquad:
             outs.append(np.asarray(y))
         got = np.concatenate(outs)
         want, _, _ = reference_dsp.biquad_cascade(np.asarray(b), np.asarray(a), x)
-        np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
+        # float32 IIR vs float64 oracle: error accumulates over the frames
+        # (the HPF pole sits near DC), so bound it relative to signal scale.
+        scale = float(np.sqrt(np.mean(x**2)))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3 * scale)
 
     def test_matches_scipy_sos(self):
         b, a = biquad.HPF_COEFFS[16000]

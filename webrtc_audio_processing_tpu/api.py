@@ -120,9 +120,10 @@ class AudioProcessing:
         geo = self._geo
 
         def make(parity):
-            def fn(state, cap, ren, delay_ms):
+            def fn(state, cap, ren, delay_ms, applied_volume):
                 return apm.process_stream_pair(
-                    geo, state, cap, ren, parity, stream_delay_ms=delay_ms
+                    geo, state, cap, ren, parity, stream_delay_ms=delay_ms,
+                    applied_input_volume=applied_volume,
                 )
 
             return jax.jit(fn)
@@ -202,6 +203,7 @@ class AudioProcessing:
         self._state, out, _ren_out, stats = step(
             self._state, jnp.asarray(capture), jnp.asarray(render),
             jnp.asarray(self._stream_delay_ms, jnp.int32),
+            jnp.asarray(getattr(self, "_analog_level", 0), jnp.int32),
         )
         self._frame_index += 1
         self._last_stats = stats
@@ -247,8 +249,19 @@ class AudioProcessing:
             )
 
     def recommended_stream_analog_level(self) -> int:
-        if self._last_stats and "agc1_recommended_level" in self._last_stats:
-            return int(self._last_stats["agc1_recommended_level"])
+        """recommended_stream_analog_level (audio_processing.h:599-607):
+        AGC2's input volume controller wins over AGC1's analog loop."""
+        if self._last_stats:
+            if "agc2_recommended_input_volume" in self._last_stats and bool(
+                self._last_stats.get(
+                    "agc2_recommended_input_volume_valid", False
+                )
+            ):
+                return int(
+                    self._last_stats["agc2_recommended_input_volume"]
+                )
+            if "agc1_recommended_level" in self._last_stats:
+                return int(self._last_stats["agc1_recommended_level"])
         return getattr(self, "_analog_level", 255)
 
     def proc_sample_rate_hz(self) -> int:

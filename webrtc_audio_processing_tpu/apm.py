@@ -245,7 +245,8 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
         aec=(ec3.init_state(geo.aec3) if geo.aec3 is not None else None),
         aecm=(_init_aecm_states(geo) if geo.aecm is not None else None),
         agc2=(gc2.init_state(c.gain_controller2, geo.capture_processing_rate,
-                             use_internal_vad=True, dtype=dtype)
+                             use_internal_vad=True, dtype=dtype,
+                             num_channels=proc_ch)
               if c.gain_controller2.enabled else None),
         pf=(post_filter.init_state(proc_ch, dtype)
             if geo.capture_processing_rate >= 32000
@@ -266,6 +267,7 @@ def process_stream_pair(
     render_frame=None,  # (render_in_frames, C_ren) float [-1, 1]
     parity: int = 0,
     stream_delay_ms=0,  # () int32 — used by AECM's far fetch
+    applied_input_volume=0,  # () int32 — mic volume for AGC2's IVC
 ):
     """One paired 10 ms step: render analysis + capture processing.
 
@@ -336,7 +338,18 @@ def process_stream_pair(
     cbuf, y = audio_buffer.copy_from(cap_cfg, state.capture_buffer,
                                      capture_frame)
 
-    # Pre-amplifier / capture level pre-gain (:1289-1299).
+    # Full-band HPF (:1282-1287) — runs before the level adjustments.
+    new_hpf = state.hpf
+    apply_hpf = state.hpf is not None
+    hpf_full_band = c.high_pass_filter.apply_in_full_band and not (
+        c.echo_canceller.enabled and cap_cfg.num_bands > 1
+    )
+    if apply_hpf and hpf_full_band and cap_cfg.num_bands == 1:
+        new_hpf, y = hpf.process(state.hpf, y, geo.capture_processing_rate)
+
+    # Pre-amplifier / capture level pre-gain (:1289-1299; the pre-amplifier
+    # is routed through the capture levels adjuster in the reference,
+    # :972-981).
     if state.pre_amp_gain is not None:
         g = jnp.asarray(c.pre_amplifier.fixed_gain_factor, y.dtype)
         gains = gain_ramp.ramped_gains_scaler(state.pre_amp_gain, g,
@@ -351,17 +364,16 @@ def process_stream_pair(
             c.capture_level_adjustment.analog_mic_gain_emulation.enabled,
         )
 
-    # Full-band HPF (:1282-1287).
-    new_hpf = state.hpf
-    apply_hpf = state.hpf is not None
-    hpf_full_band = c.high_pass_filter.apply_in_full_band and not (
-        c.echo_canceller.enabled and cap_cfg.num_bands > 1
-    )
-    if apply_hpf and hpf_full_band and cap_cfg.num_bands == 1:
-        new_hpf, y = hpf.process(state.hpf, y, geo.capture_processing_rate)
-
     # Input RMS (:1301-1312).
     input_rms = rms_level.analyze(state.input_rms, y)
+
+    # AGC2 input-volume analysis on the pre-processed capture
+    # (GainController2::Analyze, audio_processing_impl.cc:1317).
+    if state.agc2 is not None and state.agc2.ivc is not None:
+        state = state.replace(
+            agc2=gc2.analyze(c.gain_controller2, state.agc2,
+                             applied_input_volume, y)
+        )
 
     # Band split (:1359-1363).
     if cap_cfg.num_bands > 1:

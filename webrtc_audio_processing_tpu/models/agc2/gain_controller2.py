@@ -17,6 +17,9 @@ from flax import struct
 
 from webrtc_audio_processing_tpu.config import GainController2 as Agc2Config
 from webrtc_audio_processing_tpu.models.agc2 import adaptive_digital as ad
+from webrtc_audio_processing_tpu.models.agc2 import (
+    input_volume_controller as ivc_mod,
+)
 from webrtc_audio_processing_tpu.models.agc2 import limiter as limiter_mod
 from webrtc_audio_processing_tpu.ops.gain_ramp import ramped_gains_applier
 
@@ -30,11 +33,12 @@ class Agc2State:
     saturation: ad.SaturationProtectorState | None
     adaptive: ad.AdaptiveDigitalState | None
     vad: object | None = None  # VadState when the internal VAD is used
+    ivc: ivc_mod.InputVolumeControllerState | None = None
 
 
 def init_state(
     config: Agc2Config, sample_rate_hz: int, use_internal_vad: bool = False,
-    dtype=jnp.float32,
+    dtype=jnp.float32, num_channels: int = 1,
 ) -> Agc2State:
     adaptive_on = config.adaptive_digital.enabled
     ivc_on = config.input_volume_controller.enabled
@@ -63,6 +67,25 @@ def init_state(
             else None
         ),
         vad=vad,
+        ivc=(
+            ivc_mod.init_state(
+                ivc_mod.InputVolumeControllerConfig(), num_channels
+            )
+            if ivc_on else None
+        ),
+    )
+
+
+def analyze(config: Agc2Config, state: Agc2State, applied_input_volume, x):
+    """GainController2::Analyze (gain_controller2.cc:170-181): feed the
+    pre-processing capture frame to the input volume controller."""
+    if state.ivc is None:
+        return state
+    return state.replace(
+        ivc=ivc_mod.analyze_input_audio(
+            ivc_mod.InputVolumeControllerConfig(), state.ivc,
+            applied_input_volume, x,
+        )
     )
 
 
@@ -129,6 +152,19 @@ def process(
         state = state.replace(speech_level=sl)
         info["speech_level_dbfs"] = sl.level_dbfs
         info["speech_level_is_confident"] = sl.is_confident
+
+    # Input volume recommendation (:227-234) — uses the speech level only
+    # when the estimator is confident.
+    if state.ivc is not None:
+        new_ivc, rec_vol, rec_valid = ivc_mod.recommend_input_volume(
+            ivc_mod.InputVolumeControllerConfig(), state.ivc,
+            speech_probability,
+            state.speech_level.level_dbfs,
+            state.speech_level.is_confident,
+        )
+        state = state.replace(ivc=new_ivc)
+        info["recommended_input_volume"] = rec_vol
+        info["recommended_input_volume_valid"] = rec_valid
 
     y = x
     if state.adaptive is not None:

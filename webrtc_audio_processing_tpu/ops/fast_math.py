@@ -12,6 +12,7 @@ All functions are elementwise and dtype-float32.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # FastLog2f constants (ns/fast_math.cc:36-38).
 _ONE_BY_2POW23 = jnp.float32(1.1920929e-7)
@@ -38,8 +39,10 @@ def pow_approx(x, p):
 
 
 # fast_log2(10.0f) evaluated exactly as float32: bits(10.0)=0x41200000.
+# Computed host-side with numpy — no device op at import time.
 _FAST_LOG2_10 = jnp.float32(
-    float(jnp.float32(0x41200000) * _ONE_BY_2POW23 - _EXP_BIAS)
+    np.float32(0x41200000) * np.float32(1.1920929e-7)
+    - np.float32(126.942695)
 )
 
 
