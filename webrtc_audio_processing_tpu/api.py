@@ -128,13 +128,16 @@ class AudioProcessing:
 
             return jax.jit(fn)
 
-        # The parity cycle covers both the AEC3 80<->64 rebuffering (period
-        # 2) and AECM's frame->block cycle (period 2 at 16 kHz, 4 at 8 kHz).
+        # The parity cycle covers the AEC3 80<->64 rebuffering (period 2),
+        # AECM's frame->block cycle (2 at 16 kHz, 4 at 8 kHz), and the
+        # hybrid analog AGC's 30 ms analytics cadence (period 3).
+        import math as _math
+
         period = 2
         if geo.aecm is not None:
-            import math as _math
-
             period = _math.lcm(period, geo.aecm.period)
+        if geo.agc1_hybrid:
+            period = _math.lcm(period, 3)
         self._parity_period = period
         self._steps = [make(p) for p in range(period)]
         self._frame_index = 0

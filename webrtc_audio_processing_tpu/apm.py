@@ -31,7 +31,12 @@ from webrtc_audio_processing_tpu.models import (
     post_filter,
     rms_level,
 )
-from webrtc_audio_processing_tpu.models.agc1 import gain_control as gc1
+from webrtc_audio_processing_tpu.models.agc1 import (
+    agc_manager_direct as amd,
+    analog as agc1_analog,
+    digital as agc1_digital,
+    gain_control as gc1,
+)
 from webrtc_audio_processing_tpu.models.agc2 import gain_controller2 as gc2
 from webrtc_audio_processing_tpu.models.aec3 import (
     config as aec3_config,
@@ -158,6 +163,14 @@ class ApmGeometry:
             return self.num_capture_channels
         return 1
 
+    @property
+    def agc1_hybrid(self) -> bool:
+        """True when AGC1 runs as AgcManagerDirect + fixed-digital
+        compression (InitializeGainController1,
+        audio_processing_impl.cc:1991-2067)."""
+        c = self.config.gain_controller1
+        return c.enabled and c.analog_gain_controller.enabled
+
     def capture_buffer_config(self) -> audio_buffer.BufferConfig:
         return audio_buffer.BufferConfig(
             input_rate=self.capture_input_rate,
@@ -189,6 +202,7 @@ class ApmState:
     cla: cla.CaptureLevelsAdjusterState | None
     ns: ns.NsState | None
     agc1: gc1.GainControlState | None
+    agc_mgr: amd.AgcManagerDirectState | None
     aec: ec3.EchoCanceller3State | None
     aecm: ecm.AecmState | None
     agc2: gc2.Agc2State | None
@@ -198,6 +212,40 @@ class ApmState:
     output_rms: rms_level.RmsLevelState
     frame_parity: jnp.ndarray  # () int32 — informational; parity is static
     was_stream_delay_set: jnp.ndarray  # () bool
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _hybrid_gain_tables(target_level_dbfs: int = 2):
+    """Gain tables for compression 0..18 dB (SetupDigitalGainControl +
+    WebRtcAgc_set_config): the hybrid path switches compression at runtime,
+    so all tables are precomputed and selected by index. Cached as numpy."""
+    import numpy as _np
+
+    tabs = [
+        agc1_digital.calculate_gain_table(c, target_level_dbfs, True, c)
+        for c in range(19)
+    ]
+    return _np.stack(tabs)
+
+
+def _agc1_config(geo: ApmGeometry) -> agc1_analog.LegacyAgcConfig:
+    c = geo.config
+    if geo.agc1_hybrid:
+        # SetupDigitalGainControl (agc_manager_direct.cc:533-552).
+        dda = not c.gain_controller1.analog_gain_controller.enable_digital_adaptive
+        return agc1_analog.LegacyAgcConfig(
+            agc_mode=agc1_digital.AGC_MODE_FIXED_DIGITAL,
+            fs=min(geo.capture_processing_rate, 16000),
+            target_level_dbfs=0 if dda else 2,
+            compression_gain_db=0 if dda else amd.DEFAULT_COMPRESSION_GAIN,
+            limiter_enable=not dda,
+        )
+    return gc1.make_config(
+        c.gain_controller1, min(geo.capture_processing_rate, 16000)
+    )
 
 
 def _init_aecm_states(geo: ApmGeometry):
@@ -237,11 +285,13 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
              ) if c.capture_level_adjustment.enabled else None),
         ns=(ns.init_state(proc_ch, num_bands, dtype)
             if c.noise_suppression.enabled else None),
-        agc1=(gc1.init_state(
-                gc1.make_config(c.gain_controller1,
-                                min(geo.capture_processing_rate, 16000)),
-                proc_ch,
-             ) if c.gain_controller1.enabled else None),
+        agc1=(gc1.init_state(_agc1_config(geo), proc_ch)
+              if c.gain_controller1.enabled else None),
+        agc_mgr=(amd.init_state(
+                    proc_ch,
+                    c.gain_controller1.analog_gain_controller
+                    .clipped_wait_frames,
+                 ) if geo.agc1_hybrid else None),
         aec=(ec3.init_state(geo.aec3) if geo.aec3 is not None else None),
         aecm=(_init_aecm_states(geo) if geo.aecm is not None else None),
         agc2=(gc2.init_state(c.gain_controller2, geo.capture_processing_rate,
@@ -302,9 +352,7 @@ def process_stream_pair(
         # AGC1 far-end analysis from the packed mono band-0 render
         # (QueueBandedRenderAudio :1671, GainControlImpl::PackRenderAudioBuffer).
         if state.agc1 is not None:
-            agc1_cfg = gc1.make_config(
-                c.gain_controller1, min(geo.capture_processing_rate, 16000)
-            )
+            agc1_cfg = _agc1_config(geo)
             far = jnp.trunc(jnp.clip(jnp.mean(render_bands[0], axis=-1),
                                      -32768.0, 32767.0)).astype(jnp.int32)
             state = state.replace(
@@ -375,6 +423,20 @@ def process_stream_pair(
                              applied_input_volume, y)
         )
 
+    # Hybrid analog AGC clipping analysis (AnalyzePreProcess, :1345-1346).
+    if state.agc_mgr is not None:
+        agc = c.gain_controller1.analog_gain_controller
+        mgr = amd.set_stream_analog_level(state.agc_mgr,
+                                          applied_input_volume)
+        mgr = amd.analyze_pre_process(
+            mgr, y,
+            clipped_level_step=agc.clipped_level_step,
+            clipped_ratio_threshold=agc.clipped_ratio_threshold,
+            clipped_wait_frames=agc.clipped_wait_frames,
+            clipped_level_min=agc.clipped_level_min,
+        )
+        state = state.replace(agc_mgr=mgr)
+
     # Band split (:1359-1363).
     if cap_cfg.num_bands > 1:
         cbuf, bands = audio_buffer.split_into_frequency_bands(cap_cfg, cbuf, y)
@@ -390,9 +452,7 @@ def process_stream_pair(
     new_agc1 = state.agc1
     agc1_cfg = None
     if state.agc1 is not None:
-        agc1_cfg = gc1.make_config(
-            c.gain_controller1, min(geo.capture_processing_rate, 16000)
-        )
+        agc1_cfg = _agc1_config(geo)
         bands_i = jnp.trunc(jnp.clip(bands, -32768.0, 32767.0)).astype(
             jnp.int32
         )
@@ -449,16 +509,41 @@ def process_stream_pair(
         ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
         new_ns, bands = ns.process(ns_params, new_ns, bands)
 
+    # Hybrid analog AGC (AgcManagerDirect::Process, :1428-1436): runs on
+    # split band 0 and picks the digital compression gain.
+    new_agc_mgr = state.agc_mgr
+    agc1_table = None
+    if state.agc_mgr is not None:
+        agc = c.gain_controller1.analog_gain_controller
+        b0_i = jnp.trunc(jnp.clip(bands[0], -32768.0, 32767.0)).astype(
+            jnp.int32
+        )
+        new_agc_mgr, rec_vol, compression, vp = amd.process(
+            new_agc_mgr, b0_i, parity % 3,
+            clipped_level_min=agc.clipped_level_min,
+            disable_digital_adaptive=not agc.enable_digital_adaptive,
+        )
+        stats["agc1_recommended_level"] = rec_vol
+        stats["agc1_voice_probability"] = vp
+        # set_compression_gain_db applies on the next frame in the
+        # reference; here the freshly slewed gain selects this frame's
+        # precomputed table (one 0.05 dB step of skew at most).
+        agc1_table = jnp.asarray(_hybrid_gain_tables())[
+            jnp.clip(compression, 0, 18)
+        ]
+
     # AGC1 process (:1438-1442).
     if new_agc1 is not None:
         bands_i = jnp.trunc(jnp.clip(bands, -32768.0, 32767.0)).astype(
             jnp.int32
         )
         new_agc1, bands_i = gc1.process_capture_audio(
-            agc1_cfg, new_agc1, bands_i, jnp.asarray(False)
+            agc1_cfg, new_agc1, bands_i, jnp.asarray(False),
+            gain_table=agc1_table,
         )
         bands = bands_i.astype(bands.dtype)
-        stats["agc1_recommended_level"] = new_agc1.analog_level
+        if state.agc_mgr is None:
+            stats["agc1_recommended_level"] = new_agc1.analog_level
         stats["agc1_saturation_warning"] = new_agc1.saturation_warning
 
     # Merge bands (:1444-1448).
@@ -501,6 +586,7 @@ def process_stream_pair(
         cla=new_cla,
         ns=new_ns,
         agc1=new_agc1,
+        agc_mgr=new_agc_mgr if state.agc_mgr is not None else state.agc_mgr,
         aec=new_aec,
         aecm=new_aecm,
         agc2=new_agc2,

@@ -510,14 +510,18 @@ def process_analog(cfg: LegacyAgcConfig, state: AnalogAgcState,
 
 
 def analyze(cfg: LegacyAgcConfig, state: AnalogAgcState, bands,
-            in_mic_level, echo):
+            in_mic_level, echo, gain_table=None):
     """WebRtcAgc_Analyze (analog_agc.cc:903-957).
 
     bands: (num_bands, N) int32 capture bands (after AddMic).
+    gain_table: optional (32,) dynamic table (the hybrid AgcManagerDirect
+    path switches compression gains at runtime, WebRtcAgc_set_config).
     Returns (state, gains (11,), out_mic_level, saturation_warning).
     """
+    if gain_table is None:
+        gain_table = jnp.asarray(cfg.gain_table)
     dig, gains = digital.compute_digital_gains(
-        state.digital, bands[0], cfg.agc_mode, jnp.asarray(cfg.gain_table),
+        state.digital, bands[0], cfg.agc_mode, gain_table,
         state.low_level_signal,
     )
     state = state.replace(digital=dig)

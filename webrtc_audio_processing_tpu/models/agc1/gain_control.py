@@ -94,16 +94,20 @@ def analyze_capture_audio(cfg: analog.LegacyAgcConfig,
 
 
 def process_capture_audio(cfg: analog.LegacyAgcConfig,
-                          state: GainControlState, bands, stream_has_echo):
+                          state: GainControlState, bands, stream_has_echo,
+                          gain_table=None):
     """ProcessCaptureAudio: Analyze (gains + analog loop) then Process.
 
-    bands: (num_bands, N, C) int32. Returns (state, out bands int32).
+    bands: (num_bands, N, C) int32. gain_table: optional dynamic (32,)
+    table for the hybrid analog AGC path. Returns (state, out bands).
     """
     x = jnp.moveaxis(bands, -1, 0)  # (C, B, N)
     echo = jnp.asarray(stream_has_echo, jnp.int32)
 
     def one(st, xb, lvl):
-        st, gains, out_lvl, warn = analog.analyze(cfg, st, xb, lvl, echo)
+        st, gains, out_lvl, warn = analog.analyze(
+            cfg, st, xb, lvl, echo, gain_table=gain_table
+        )
         y = analog.process(gains, xb)
         return st, y, out_lvl, warn
 
