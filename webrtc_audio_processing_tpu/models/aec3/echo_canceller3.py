@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from webrtc_audio_processing_tpu.models.aec3 import (
+    multi_channel_content_detector as mccd,
     delay_estimator as de,
     echo_remover as er,
     render_buffer as rb,
@@ -69,6 +70,8 @@ class EchoCanceller3State:
     output_framer_carry: jnp.ndarray  # (bands, 64, C_cap)
     linear_framer_carry: jnp.ndarray  # (64, C_cap)
     saturated_microphone: jnp.ndarray  # () bool
+    mc_detector: mccd.MultiChannelContentDetectorState
+    mc_config_changed: jnp.ndarray  # () bool — host should re-init on True
 
 
 def init_state(geo: Aec3Geometry) -> EchoCanceller3State:
@@ -88,6 +91,11 @@ def init_state(geo: Aec3Geometry) -> EchoCanceller3State:
                                        geo.num_capture_channels)),
         linear_framer_carry=jnp.zeros((BLOCK_SIZE, geo.num_capture_channels)),
         saturated_microphone=jnp.asarray(False),
+        mc_detector=mccd.init_state(
+            geo.config.multi_channel.detect_stereo_content,
+            geo.num_render_channels,
+        ),
+        mc_config_changed=jnp.asarray(False),
     )
 
 
@@ -228,6 +236,18 @@ def process_frame(
     saturated = _detect_saturation(capture_frame[0])
     state = state.replace(saturated_microphone=saturated)
 
+    # Stereo-content detection on the render frame (EmptyRenderQueue,
+    # echo_canceller3.cc:969-1005). A flip of the persistent flag is
+    # surfaced via `mc_config_changed` for the host to re-initialize.
+    mc = cfg.multi_channel
+    mc_state, mc_changed = mccd.update(
+        state.mc_detector, render_frame, mc.detect_stereo_content,
+        mc.stereo_detection_threshold,
+        mc.stereo_detection_timeout_threshold_seconds,
+        mc.stereo_detection_hysteresis_seconds,
+    )
+    state = state.replace(mc_detector=mc_state, mc_config_changed=mc_changed)
+
     # Render side: block and insert.
     r_blocks, r_carry = _split_blocks(render_frame, state.render_blocker_carry,
                                       parity)
@@ -279,4 +299,7 @@ def get_metrics(geo: Aec3Geometry, state: EchoCanceller3State):
             10.0 * 0.30102999566
         ),
         "delay_ms": rb.compute_delay(geo.buffer, state.buffer) * 4,
+        "multichannel_content_detected":
+            state.mc_detector.persistent_detected,
+        "multichannel_config_changed": state.mc_config_changed,
     }
