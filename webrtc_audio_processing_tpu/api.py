@@ -84,6 +84,32 @@ class AudioProcessing:
         self._key_pressed = False
         self._output_rms_history = []
         self._last_stats = {}
+        self._aec_dump = None
+
+    # ---------------------------------------------------------- aec dump
+
+    def attach_aec_dump(self, path: str):
+        """AttachAecDump (audio_processing.h:627-640): start recording the
+        debug event stream (Init/Config/ReverseStream/Stream) to `path`."""
+        from webrtc_audio_processing_tpu.utils import aec_dump
+
+        self._aec_dump = aec_dump.AecDumpRecorder(path)
+        self._aec_dump.on_config(self._config)
+        if self._geo is not None:
+            g = self._geo
+            self._aec_dump.on_init(
+                g.capture_input_rate, g.num_capture_channels,
+                g.num_capture_channels, g.render_input_rate,
+                g.num_render_channels, g.capture_output_rate,
+            )
+        return 0
+
+    def detach_aec_dump(self):
+        """DetachAecDump (audio_processing.h:645-649): finalize the file."""
+        if self._aec_dump is not None:
+            self._aec_dump.close()
+            self._aec_dump = None
+        return 0
 
     # ------------------------------------------------------------ config
 
@@ -116,7 +142,12 @@ class AudioProcessing:
             num_render_channels=render_channels or 1,
             aec3_cfg=self._aec3_config,
         )
-        self._state = apm.init_state(self._geo)
+        from webrtc_audio_processing_tpu.utils import complex_boundary as cb
+
+        # Complex state leaves (AEC3 FFT buffers, filters) must not cross
+        # the jit boundary eagerly — some TPU attachments reject eager
+        # complex64 arrays (see utils/complex_boundary.py).
+        self._state = cb.init_encoded(lambda: apm.init_state(self._geo))
         geo = self._geo
 
         def make(parity):
@@ -126,7 +157,7 @@ class AudioProcessing:
                     applied_input_volume=applied_volume,
                 )
 
-            return jax.jit(fn)
+            return jax.jit(cb.wrap_step(fn))
 
         # The parity cycle covers the AEC3 80<->64 rebuffering (period 2),
         # AECM's frame->block cycle (2 at 16 kHz, 4 at 8 kHz), and the
@@ -157,6 +188,8 @@ class AudioProcessing:
         render = np.asarray(render, np.float32)
         if render.ndim == 1:
             render = render[:, None]
+        if self._aec_dump is not None:
+            self._aec_dump.on_reverse_stream(render)
         if len(self._render_queue) >= RENDER_QUEUE_SIZE_FRAMES:
             self._render_queue.popleft()
         self._render_queue.append(render)
@@ -210,7 +243,13 @@ class AudioProcessing:
         )
         self._frame_index += 1
         self._last_stats = stats
-        return kNoError, np.asarray(out)
+        out_np = np.asarray(out)
+        if self._aec_dump is not None:
+            self._aec_dump.on_stream(
+                capture, out_np, self._stream_delay_ms,
+                getattr(self, "_analog_level", 0), self._key_pressed,
+            )
+        return kNoError, out_np
 
     def process_stream_int16(self, capture: np.ndarray, sample_rate_hz: int):
         """ProcessStream int16 (audio_processing.h:542)."""

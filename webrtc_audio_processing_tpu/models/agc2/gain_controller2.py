@@ -21,6 +21,7 @@ from webrtc_audio_processing_tpu.models.agc2 import (
     input_volume_controller as ivc_mod,
 )
 from webrtc_audio_processing_tpu.models.agc2 import limiter as limiter_mod
+from webrtc_audio_processing_tpu.models.agc2 import vad_wrapper
 from webrtc_audio_processing_tpu.ops.gain_ramp import ramped_gains_applier
 
 
@@ -44,8 +45,6 @@ def init_state(
     ivc_on = config.input_volume_controller.enabled
     vad = None
     if use_internal_vad and (adaptive_on or ivc_on):
-        from webrtc_audio_processing_tpu.models.agc2 import vad_wrapper
-
         vad = vad_wrapper.init_state(sample_rate_hz, dtype)
     return Agc2State(
         fixed_gain_last_factor=jnp.asarray(
@@ -128,8 +127,6 @@ def process(
         )
 
     if state.vad is not None:
-        from webrtc_audio_processing_tpu.models.agc2 import vad_wrapper
-
         new_vad, speech_probability = vad_wrapper.analyze(
             state.vad, x, sample_rate_hz
         )
