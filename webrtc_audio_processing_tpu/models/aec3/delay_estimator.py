@@ -245,18 +245,25 @@ def matched_filter_update(
 
     error_sum_anchor = jnp.sum(y * y)
 
-    # Window gather: for filter n, sample i, tap k the read index is
+    # Window build: for filter n, sample i, tap k the read index is
     # (read + shift_n + sub - 1 - i + k) mod DS (matched_filter.cc:728 and
-    # the per-sample decrement at :186).
+    # the per-sample decrement at :186). All (i, k) reads for one filter
+    # lie in the contiguous mod-window [read + shift_n, read + shift_n +
+    # sub - 1 + L), so instead of a (N, sub, L) gather (which costs ~GBs
+    # of index traffic per block on TPU) each filter takes one contiguous
+    # dynamic slice of a wrap-extended ring and the sub windows are static
+    # shifted views of it.
     shifts = jnp.arange(n_filters, dtype=jnp.int32) * geo.shift_samples
-    base = lr_read + shifts[:, None, None] + (sub - 1)  # (N,1,1)
-    idx = jnp.mod(
-        base
-        - jnp.arange(sub, dtype=jnp.int32)[None, :, None]
-        + jnp.arange(length, dtype=jnp.int32)[None, None, :],
-        geo.ds_size,
-    )
-    xw = lowrate[idx]  # (N, sub, L)
+    seg_len = sub - 1 + length
+    ring2 = jnp.concatenate([lowrate, lowrate[:seg_len]])
+    starts = jnp.mod(lr_read + shifts, geo.ds_size)  # (N,)
+    segs = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(ring2, (s0,), (seg_len,))
+    )(starts)  # (N, seg_len)
+    xw = jnp.stack(
+        [segs[:, sub - 1 - i : sub - 1 - i + length] for i in range(sub)],
+        axis=1,
+    )  # (N, sub, L)
     x2_sums = jnp.sum(xw * xw, axis=-1)  # (N, sub)
     saturation = (y >= 32000.0) | (y <= -32000.0)  # (sub,)
 
