@@ -13,7 +13,9 @@ stats). Feature vector layout (features_extraction.cc:75-95):
   [40]    normalized pitch period: 0.01 * (period_48k - 300)
   [41]    spectral variability
 
-TPU re-design: the pffft 480-pt FFT becomes jnp.fft.rfft; the triangular
+TPU re-design: the pffft 480-pt FFT becomes a mixed-radix 32x15
+Cooley-Tukey FFT (ops/mixed_fft.py; a plain 480-point jnp.fft.rfft lowers
+to a naive DFT on the TPU backend); the triangular
 Opus-band aggregation becomes a precomputed (20, 240) matrix product; the
 symmetric cepstral-difference matrix is recomputed each frame from the
 (8, 22) cepstral ring (exact, since all pairs live in the ring).
@@ -27,6 +29,7 @@ import numpy as np
 from flax import struct
 
 from webrtc_audio_processing_tpu.models.agc2.rnn_vad import pitch as pitch_mod
+from webrtc_audio_processing_tpu.ops import mixed_fft
 
 NUM_BANDS = 22
 NUM_LOWER_BANDS = 6
@@ -214,11 +217,11 @@ def extract_features(state: FeatureState, frame_24k):
         pitch_buf, (jnp.clip(lag_start, 0, BUF_SIZE - FRAME_20MS),), (FRAME_20MS,)
     )
 
-    ref_spec = jnp.fft.rfft(ref * WINDOW)[: FRAME_20MS // 2]
+    ref_spec = mixed_fft.rfft480(ref * WINDOW)[: FRAME_20MS // 2]
     ref_energy = _band_energies((ref_spec.real**2 + ref_spec.imag**2).astype(dt))
     is_silence = jnp.sum(ref_energy) < SILENCE_THRESHOLD
 
-    lag_spec = jnp.fft.rfft(lagged * WINDOW)[: FRAME_20MS // 2]
+    lag_spec = mixed_fft.rfft480(lagged * WINDOW)[: FRAME_20MS // 2]
     lag_energy = _band_energies((lag_spec.real**2 + lag_spec.imag**2).astype(dt))
 
     log_energy = _smoothed_log_energies(ref_energy)
