@@ -9,10 +9,11 @@ reverb_model_estimator.cc).
 Deliberately omitted relative to the reference (all OFF in the default
 config, gated identically here):
 - SignalDependentErleEstimator (created only when erle.num_sections > 1)
-- EchoAudibility / StationarityEstimator (echo_audibility.use_stationarity_
-  properties = false)
 - Adaptive reverb decay estimation (active only when ep_strength.default_len
   < 0); the fixed default decay path is implemented.
+EchoAudibility / StationarityEstimator are implemented in
+echo_audibility.py and active when echo_audibility.use_stationarity_
+properties is set.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from webrtc_audio_processing_tpu.models.aec3 import echo_audibility as ea
 from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
 from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
 
@@ -864,6 +866,7 @@ class AecStateState:
     erl: ErlState
     avg_render_reverb: ReverbModelState
     reverb_freq_response: ReverbFrequencyResponseState
+    echo_audibility: ea.EchoAudibilityState
 
 
 def init_state(config: EchoCanceller3Config, num_capture: int,
@@ -898,6 +901,7 @@ def init_state(config: EchoCanceller3Config, num_capture: int,
             average_decay=jnp.zeros((num_capture,)),
             tail_response=jnp.zeros((num_capture, NUM_BINS)),
         ),
+        echo_audibility=ea.init_state(),
     )
 
 
@@ -1012,6 +1016,19 @@ def update(
     X2_at = jnp.mean(rb.spectrum_at(geo, buf, min_delay), axis=0)
     X2_reverb = X2_at + reverb.reverb
 
+    # EchoAudibility (aec_state.cc:253-257), only when the stationarity
+    # properties drive residual scaling.
+    audibility = state.echo_audibility
+    if config.echo_audibility.use_stationarity_properties:
+        audibility = ea.update(
+            audibility, buf.spectra, buf.s_read, buf.s_write,
+            geo.num_blocks,
+            jnp.swapaxes(buf.blocks[buf.b_write][0], 0, 1).T,
+            reverb.reverb, min_delay, rb.headroom(geo, buf),
+            external_delay_valid,
+            config.echo_audibility.use_stationarity_properties_at_init,
+        )
+
     # ERLE / ERL.
     # InitialState transition (aec_state.cc:302-331) uses last block's value
     # to trigger erle reset first (order per aec_state.cc:245-247 uses the
@@ -1106,6 +1123,17 @@ def update(
         erl=erl,
         avg_render_reverb=reverb,
         reverb_freq_response=rfr,
+        echo_audibility=audibility,
+    )
+
+
+def residual_echo_scaling(config, state: AecStateState):
+    """AecState::GetResidualEchoScaling (aec_state.cc:115-126)."""
+    limit = (1.5 if config.filter.conservative_initial_phase else 0.8) * 250
+    converged = state.strong_not_saturated_render_blocks >= limit
+    return ea.residual_echo_scaling(
+        state.echo_audibility, converged,
+        config.echo_audibility.use_stationarity_properties_at_init,
     )
 
 

@@ -276,6 +276,13 @@ def residual_echo_estimate(
     R2 = R2 + jnp.where(add, reverb.reverb, 0.0)
     R2_unbounded = R2_unbounded + jnp.where(add, reverb.reverb, 0.0)
 
+    # Echo-audibility residual scaling (residual_echo_estimator.cc:300-310),
+    # active only with use_stationarity_properties.
+    if config.echo_audibility.use_stationarity_properties:
+        scaling = aecs.residual_echo_scaling(config, aec)
+        R2 = R2 * scaling[None, :]
+        R2_unbounded = R2_unbounded * scaling[None, :]
+
     return (
         state.replace(
             echo_reverb=reverb, X2_noise_floor=floor,
