@@ -6,14 +6,14 @@ erle_estimator.cc / subband_erle_estimator.cc / fullband_erle_estimator.cc,
 erl_estimator.cc, reverb_model.cc, reverb_frequency_response.cc,
 reverb_model_estimator.cc).
 
-Deliberately omitted relative to the reference (all OFF in the default
-config, gated identically here):
-- SignalDependentErleEstimator (created only when erle.num_sections > 1)
+Deliberately omitted relative to the reference (OFF in the default config,
+gated identically here):
 - Adaptive reverb decay estimation (active only when ep_strength.default_len
   < 0); the fixed default decay path is implemented.
-EchoAudibility / StationarityEstimator are implemented in
-echo_audibility.py and active when echo_audibility.use_stationarity_
-properties is set.
+EchoAudibility / StationarityEstimator live in echo_audibility.py (active
+when echo_audibility.use_stationarity_properties); the signal-dependent
+ERLE estimator lives in signal_dependent_erle.py (active when
+erle.num_sections > 1).
 """
 
 from __future__ import annotations
@@ -24,6 +24,8 @@ from flax import struct
 
 from webrtc_audio_processing_tpu.models.aec3 import echo_audibility as ea
 from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
+from webrtc_audio_processing_tpu.models.aec3 import signal_dependent_erle as sde
+from webrtc_audio_processing_tpu.models.aec3 import reverb_decay_estimator as rde
 from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
 
 NUM_BINS = 65
@@ -447,6 +449,9 @@ class ErleState:
     subband: SubbandErleState
     fullband: FullBandErleState
     blocks_since_reset: jnp.ndarray  # () int32
+    # SignalDependentErleEstimator, present only when erle.num_sections > 1
+    # (erle_estimator.cc:37-41); None otherwise.
+    sd: "sde.SignalDependentErleState | None" = None
 
 
 @struct.dataclass
@@ -506,6 +511,8 @@ def init_erle(config, num_capture) -> ErleState:
         subband=init_subband_erle(config, num_capture),
         fullband=init_fullband_erle(config, num_capture),
         blocks_since_reset=jnp.asarray(0, jnp.int32),
+        sd=(sde.init_state(config, num_capture)
+            if config.erle.num_sections > 1 else None),
     )
 
 
@@ -517,8 +524,24 @@ def reset_erle(config, state: ErleState, delay_change) -> ErleState:
         blocks_since_reset=jnp.where(
             delay_change, 0, state.blocks_since_reset
         ),
+        sd=(sde.init_state(config, c)
+            if config.erle.num_sections > 1 else None),
     )
     return new
+
+
+def erle_arrays(config, state: ErleState):
+    """(erle, erle_onset_compensated, erle_unbounded) with the
+    signal-dependent dispatch of erle_estimator.h:58-75: when the
+    signal-dependent estimator exists it supplies all three (the unbounded
+    variant intentionally returns its capped, non-onset ERLE)."""
+    if config.erle.num_sections > 1:
+        sd = state.sd
+        eoc = (sd.erle_onset_compensated if config.erle.onset_detection
+               else sd.erle)
+        return sd.erle, eoc, sd.erle
+    sb = state.subband
+    return sb.erle, sb.erle_onset_compensated, sb.erle_unbounded
 
 
 def init_erl() -> ErlState:
@@ -689,8 +712,13 @@ def _fullband_erle_update(config, st: FullBandErleState, X2_reverb, Y2, E2,
     )
 
 
-def erle_update(config, state: ErleState, X2_reverb, Y2, E2, converged):
-    """ErleEstimator::Update (erle_estimator.cc:47-77)."""
+def erle_update(config, state: ErleState, X2_reverb, Y2, E2, converged,
+                X2_by_delay=None, frequency_responses=None):
+    """ErleEstimator::Update (erle_estimator.cc:47-77).
+
+    X2_by_delay (num_blocks, 65) and frequency_responses (C, P, 65) feed the
+    signal-dependent estimator and are only needed when erle.num_sections>1.
+    """
     blocks = state.blocks_since_reset + 1
     skip = blocks < 2 * BLOCKS_PER_SECOND
     sub = _subband_erle_update(config, state.subband, X2_reverb, Y2, E2,
@@ -703,7 +731,17 @@ def erle_update(config, state: ErleState, X2_reverb, Y2, E2, converged):
     full = jax.tree_util.tree_map(
         lambda a, b: jnp.where(skip, b, a), full, state.fullband
     )
-    return state.replace(subband=sub, fullband=full, blocks_since_reset=blocks)
+    sd = state.sd
+    if config.erle.num_sections > 1:
+        sd_new = sde.update(
+            config, sd, X2_by_delay, frequency_responses, X2_reverb, Y2, E2,
+            sub.erle, sub.erle_onset_compensated, converged & ~skip,
+        )
+        sd = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(skip, b, a), sd_new, sd
+        )
+    return state.replace(subband=sub, fullband=full,
+                         blocks_since_reset=blocks, sd=sd)
 
 
 def erl_update(state: ErlState, converged, X2_at_delay, Y2):
@@ -867,6 +905,9 @@ class AecStateState:
     avg_render_reverb: ReverbModelState
     reverb_freq_response: ReverbFrequencyResponseState
     echo_audibility: ea.EchoAudibilityState
+    # ReverbDecayEstimator adaptive path, present only when
+    # ep_strength.default_len < 0 (reverb_decay_estimator.cc:96).
+    reverb_decay_est: "rde.ReverbDecayState | None" = None
 
 
 def init_state(config: EchoCanceller3Config, num_capture: int,
@@ -902,6 +943,8 @@ def init_state(config: EchoCanceller3Config, num_capture: int,
             tail_response=jnp.zeros((num_capture, NUM_BINS)),
         ),
         echo_audibility=ea.init_state(),
+        reverb_decay_est=(rde.init_state(config, num_capture)
+                          if config.ep_strength.default_len < 0 else None),
     )
 
 
@@ -1008,8 +1051,10 @@ def update(
         active_render & ~saturated
     ).astype(jnp.int32)
 
-    # ComputeAvgRenderReverb (aec_state.cc:46-97).
-    decay = abs(config.ep_strength.default_len)
+    # ComputeAvgRenderReverb (aec_state.cc:46-97); the decay comes from the
+    # adaptive estimator when enabled (aec_state.cc:250 ReverbDecay(false)).
+    decay = rde.decay_value(config, state.reverb_decay_est,
+                            jnp.asarray(False))
     X2_past = jnp.mean(rb.spectrum_at(geo, buf, min_delay + 1), axis=0)
     reverb = reverb_update_no_shaping(state.avg_render_reverb, X2_past, 1.0,
                                       decay)
@@ -1037,8 +1082,15 @@ def update(
         lambda a, b: jnp.where(state.transition_triggered, a, b),
         reset_erle(config, state.erle, jnp.asarray(False)), state.erle,
     )
+    X2_by_delay = None
+    if config.erle.num_sections > 1:
+        X2_by_delay = jnp.mean(
+            rb.spectrum_window(geo, buf, config.filter.refined.length_blocks),
+            axis=1,
+        )
     erle = erle_update(config, erle, X2_reverb, Y2, E2_refined,
-                       sa.filters_converged)
+                       sa.filters_converged, X2_by_delay,
+                       frequency_responses)
     erl = erl_update(state.erl, sa.filters_converged,
                      rb.spectrum_at(geo, buf, min_delay), Y2)
 
@@ -1093,15 +1145,30 @@ def update(
         usable = usable & ~transparent.active
     usable = usable & config.filter.use_linear_filter
 
-    # Reverb frequency response (stationary_block=False by default config).
+    # Reverb model estimation (aec_state.cc:298-308). stationary_block is
+    # only nonzero with use_stationarity_properties.
     quality = erle.fullband.inst_quality
     quality_valid = erle.fullband.erle_log2_valid
+    if config.echo_audibility.use_stationarity_properties:
+        stationary_block = ea.is_block_stationary(audibility)
+        quality_valid = quality_valid & ~stationary_block
+    else:
+        stationary_block = jnp.asarray(False)
     rfr = reverb_frequency_response_update(
         config, state.reverb_freq_response, frequency_responses,
         filter_delays, quality, quality_valid, filter_size_partitions - 1,
     )
+    rde_state = state.reverb_decay_est
+    if config.ep_strength.default_len < 0:
+        rde_state = rde.update(
+            config, rde_state, fa.h_highpass,
+            erle.fullband.inst_quality, erle.fullband.erle_log2_valid,
+            filter_delays, usable, stationary_block,
+            filter_size_partitions,
+        )
 
     return state.replace(
+        reverb_decay_est=rde_state,
         initial_state=still_initial,
         transition_triggered=transition,
         initial_strong_blocks=init_strong,

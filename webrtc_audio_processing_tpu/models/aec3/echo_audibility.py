@@ -151,6 +151,13 @@ def update(state: EchoAudibilityState, spectra, s_read, s_write,
     return state.replace(stationarity=st, non_zero_render_seen=non_zero)
 
 
+def is_block_stationary(state: EchoAudibilityState):
+    """StationarityEstimator::IsBlockStationary (stationarity_estimator.cc:
+    90-98): more than 75% of the bands stationary (with drained hangover)."""
+    band_st = state.stationarity.flags & (state.stationarity.hangovers == 0)
+    return jnp.mean(band_st.astype(jnp.float32)) > 0.75
+
+
 def residual_echo_scaling(state: EchoAudibilityState,
                           filter_has_had_time_to_converge,
                           use_render_stationarity_at_init: bool):

@@ -72,6 +72,9 @@ class EchoCanceller3State:
     saturated_microphone: jnp.ndarray  # () bool
     mc_detector: mccd.MultiChannelContentDetectorState
     mc_config_changed: jnp.ndarray  # () bool — host should re-init on True
+    # BlockDelayBuffer (block_delay_buffer.cc): fixed capture pre-delay line,
+    # shape (bands, fixed_capture_delay_samples, C_cap); width 0 when off.
+    capture_predelay: jnp.ndarray
 
 
 def init_state(geo: Aec3Geometry) -> EchoCanceller3State:
@@ -96,6 +99,10 @@ def init_state(geo: Aec3Geometry) -> EchoCanceller3State:
             geo.num_render_channels,
         ),
         mc_config_changed=jnp.asarray(False),
+        capture_predelay=jnp.zeros(
+            (geo.num_bands, geo.config.delay.fixed_capture_delay_samples,
+             geo.num_capture_channels)
+        ),
     )
 
 
@@ -236,6 +243,14 @@ def process_frame(
     saturated = _detect_saturation(capture_frame[0])
     state = state.replace(saturated_microphone=saturated)
 
+    # Optional fixed capture pre-delay (echo_canceller3.cc:902-906,
+    # block_delay_buffer.cc): a D-sample delay line per split band, applied
+    # after the (undelayed) saturation scan, before block processing.
+    if cfg.delay.fixed_capture_delay_samples > 0:
+        cat = jnp.concatenate([state.capture_predelay, capture_frame], axis=1)
+        capture_frame = cat[:, :FRAME_SIZE]
+        state = state.replace(capture_predelay=cat[:, FRAME_SIZE:])
+
     # Stereo-content detection on the render frame (EmptyRenderQueue,
     # echo_canceller3.cc:969-1005). A flip of the persistent flag is
     # surfaced via `mc_config_changed` for the host to re-initialize.
@@ -302,4 +317,13 @@ def get_metrics(geo: Aec3Geometry, state: EchoCanceller3State):
         "multichannel_content_detected":
             state.mc_detector.persistent_detected,
         "multichannel_config_changed": state.mc_config_changed,
+        # Host-side metric reporter inputs (utils/metrics.py; per
+        # echo_remover_metrics.cc / render_delay_controller_metrics.cc).
+        "aec3_erl_time_domain": aec.erl.erl_time_domain,
+        "aec3_erle_fullband_log2": jnp.mean(erle_log2),
+        "aec3_usable_linear_estimate": aec.usable_linear_estimate,
+        "aec3_saturated_capture": aec.capture_signal_saturation,
+        "aec3_min_filter_delay": aec.min_filter_delay,
+        "aec3_external_delay_valid": aec.external_delay_valid,
+        "aec3_clockdrift_level": state.delay.clockdrift.level,
     }

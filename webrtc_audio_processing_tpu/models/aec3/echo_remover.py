@@ -192,13 +192,10 @@ def residual_echo_estimate(
         config.ep_strength.erle_onset_compensation_in_dominant_nearend
         | ~dominant_nearend
     )
-    erle = jnp.where(
-        onset_comp, aec.erle.subband.erle_onset_compensated,
-        aec.erle.subband.erle,
-    )
+    erle_plain, erle_oc, erle_unb = aecs.erle_arrays(config, aec.erle)
+    erle = jnp.where(onset_comp, erle_oc, erle_plain)
     R2_lin = S2_linear / jnp.maximum(erle, 1e-30)
-    R2_lin_unb = S2_linear / jnp.maximum(aec.erle.subband.erle_unbounded,
-                                         1e-30)
+    R2_lin_unb = S2_linear / jnp.maximum(erle_unb, 1e-30)
 
     # --- Nonlinear branch.
     gain_amp = jnp.where(
@@ -236,12 +233,10 @@ def residual_echo_estimate(
     R2 = jnp.where(saturated_echo, Y2, R2)
     R2_unbounded = jnp.where(saturated_echo, Y2, R2_unbounded)
 
-    # --- Reverb (UpdateReverb + AddReverb, :322-377).
-    decay = jnp.where(
-        dominant_nearend,
-        abs(config.ep_strength.nearend_len),
-        abs(config.ep_strength.default_len),
-    )
+    # --- Reverb (UpdateReverb + AddReverb, :322-377). Decay dispatches to
+    # the adaptive estimator when ep_strength.default_len < 0.
+    decay = aecs.rde.decay_value(config, aec.reverb_decay_est,
+                                 dominant_nearend)
     first_partition = jnp.where(
         usable, filter_length_blocks + 1, min_delay + 1
     )
