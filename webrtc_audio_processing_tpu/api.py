@@ -42,6 +42,57 @@ kBadStreamParameterWarning = -13
 RENDER_QUEUE_SIZE_FRAMES = 100  # aec3_common.h:41
 
 
+class RuntimeSetting:
+    """AudioProcessing::RuntimeSetting (audio_processing.h:380-470):
+    typed value carrier with the reference's factory constructors."""
+
+    NOT_SPECIFIED = 0
+    CAPTURE_PRE_GAIN = 1
+    CAPTURE_COMPRESSION_GAIN = 2
+    CAPTURE_FIXED_POST_GAIN = 3
+    PLAYOUT_VOLUME_CHANGE = 4
+    CUSTOM_RENDER_SETTING = 5
+    PLAYOUT_AUDIO_DEVICE_CHANGE = 6
+    CAPTURE_POST_GAIN = 7
+    CAPTURE_OUTPUT_USED = 8
+
+    def __init__(self, type_=NOT_SPECIFIED, value=0.0):
+        self.type = type_
+        self.value = value
+
+    @classmethod
+    def create_capture_pre_gain(cls, gain: float):
+        return cls(cls.CAPTURE_PRE_GAIN, float(gain))
+
+    @classmethod
+    def create_capture_post_gain(cls, gain: float):
+        return cls(cls.CAPTURE_POST_GAIN, float(gain))
+
+    @classmethod
+    def create_compression_gain_db(cls, gain_db: int):
+        return cls(cls.CAPTURE_COMPRESSION_GAIN, float(gain_db))
+
+    @classmethod
+    def create_capture_fixed_post_gain(cls, gain_db: float):
+        return cls(cls.CAPTURE_FIXED_POST_GAIN, float(gain_db))
+
+    @classmethod
+    def create_playout_volume_change(cls, volume: int):
+        return cls(cls.PLAYOUT_VOLUME_CHANGE, int(volume))
+
+    @classmethod
+    def create_playout_audio_device_change(cls, device_info):
+        return cls(cls.PLAYOUT_AUDIO_DEVICE_CHANGE, device_info)
+
+    @classmethod
+    def create_custom_render_setting(cls, payload: int):
+        return cls(cls.CUSTOM_RENDER_SETTING, int(payload))
+
+    @classmethod
+    def create_capture_output_used_setting(cls, used: bool):
+        return cls(cls.CAPTURE_OUTPUT_USED, bool(used))
+
+
 class AudioProcessingStats:
     """audio_processing_statistics.h:25-66."""
 
@@ -85,6 +136,15 @@ class AudioProcessing:
         self._output_rms_history = []
         self._last_stats = {}
         self._aec_dump = None
+        # Host-side AEC3 metric reporters (utils/metrics.py; reference
+        # echo_canceller3.cc api_call_metrics_ + block_processor.cc /
+        # echo_remover.cc / render_delay_controller.cc counterparts).
+        from webrtc_audio_processing_tpu.utils import metrics as _metrics
+        self._metrics = _metrics
+        self._jitter_metrics = _metrics.ApiCallJitterMetrics()
+        self._block_metrics = _metrics.BlockProcessorMetrics()
+        self._delay_metrics = _metrics.RenderDelayControllerMetrics()
+        self._remover_metrics = _metrics.EchoRemoverMetrics()
 
     # ---------------------------------------------------------- aec dump
 
@@ -192,7 +252,10 @@ class AudioProcessing:
             self._aec_dump.on_reverse_stream(render)
         if len(self._render_queue) >= RENDER_QUEUE_SIZE_FRAMES:
             self._render_queue.popleft()
+            self._block_metrics.update_render(overrun=True)
         self._render_queue.append(render)
+        if self._config.echo_canceller.enabled:
+            self._jitter_metrics.report_render_call()
         return kNoError, render
 
     def analyze_reverse_stream(self, render, sample_rate_hz=None):
@@ -244,6 +307,9 @@ class AudioProcessing:
         self._frame_index += 1
         self._last_stats = stats
         out_np = np.asarray(out)
+        if (self._config.echo_canceller.enabled
+                and not self._config.echo_canceller.mobile_mode):
+            self._feed_aec3_metrics(stats)
         if self._aec_dump is not None:
             self._aec_dump.on_stream(
                 capture, out_np, self._stream_delay_ms,
@@ -278,6 +344,111 @@ class AudioProcessing:
 
     def set_stream_key_pressed(self, key_pressed: bool):
         self._key_pressed = key_pressed
+
+    def set_runtime_setting(self, setting: RuntimeSetting) -> bool:
+        """SetRuntimeSetting (audio_processing.h:506-515) with the capture
+        handlers of audio_processing_impl.cc:963-1064.
+
+        Gain-type settings mutate the active config and re-jit the step
+        while keeping the stream state (glitch-free in the reference sense;
+        here it costs one cached recompile per distinct value).
+        """
+        import dataclasses as dc
+
+        if self._aec_dump is not None:
+            self._aec_dump.on_runtime_setting(setting.type, setting.value)
+
+        c = self._config
+        t, v = setting.type, setting.value
+        if t == RuntimeSetting.CAPTURE_PRE_GAIN:
+            if c.pre_amplifier.enabled:
+                c = c.replace(pre_amplifier=dc.replace(
+                    c.pre_amplifier, fixed_gain_factor=float(v)))
+            elif c.capture_level_adjustment.enabled:
+                c = c.replace(capture_level_adjustment=dc.replace(
+                    c.capture_level_adjustment, pre_gain_factor=float(v)))
+            else:
+                return True  # ignored, as in the reference
+            self._refresh_config(c)
+        elif t == RuntimeSetting.CAPTURE_POST_GAIN:
+            if c.capture_level_adjustment.enabled:
+                c = c.replace(capture_level_adjustment=dc.replace(
+                    c.capture_level_adjustment, post_gain_factor=float(v)))
+                self._refresh_config(c)
+        elif t == RuntimeSetting.CAPTURE_COMPRESSION_GAIN:
+            # Ignored when an input volume controller owns the mic
+            # (audio_processing_impl.cc:1010-1013).
+            ivc = (c.gain_controller2.enabled
+                   and c.gain_controller2.input_volume_controller.enabled)
+            hybrid = (c.gain_controller1.enabled
+                      and c.gain_controller1.analog_gain_controller.enabled)
+            if not ivc and not hybrid and c.gain_controller1.enabled:
+                c = c.replace(gain_controller1=dc.replace(
+                    c.gain_controller1,
+                    compression_gain_db=int(v + 0.5)))
+                self._refresh_config(c)
+        elif t == RuntimeSetting.CAPTURE_FIXED_POST_GAIN:
+            if c.gain_controller2.enabled:
+                c = c.replace(gain_controller2=dc.replace(
+                    c.gain_controller2,
+                    fixed_digital=dc.replace(
+                        c.gain_controller2.fixed_digital,
+                        gain_db=float(v))))
+                self._refresh_config(c)
+        elif t == RuntimeSetting.PLAYOUT_VOLUME_CHANGE:
+            self._playout_volume = int(v)
+        elif t in (RuntimeSetting.PLAYOUT_AUDIO_DEVICE_CHANGE,
+                   RuntimeSetting.CUSTOM_RENDER_SETTING):
+            pass  # render pre-processor hooks: no built-in consumer
+        elif t == RuntimeSetting.CAPTURE_OUTPUT_USED:
+            self._capture_output_used = bool(v)
+        return True
+
+    def _feed_aec3_metrics(self, stats):
+        """Feed the host-side AEC3 metric reporters from the step's stats,
+        once per processed block (2 or 3 blocks per 10 ms frame)."""
+        if "aec3_erl_time_domain" not in stats:
+            return
+        self._jitter_metrics.report_capture_call()
+        if not self._metrics.is_enabled():
+            # Reading the device-resident stat scalars forces host syncs
+            # (ruinous on remote-attached accelerators); only pay for it
+            # when histograms are actually collected, mirroring the
+            # reference's metrics::Enable() gating.
+            return
+        n_blocks = 2 if (self._frame_index % 2 == 1) else 3
+        delay_ms = int(stats.get("delay_ms", 0))
+        valid = bool(stats.get("aec3_external_delay_valid", False))
+        for _ in range(n_blocks):
+            self._block_metrics.update_capture(underrun=False)
+            self._delay_metrics.update(
+                delay_ms * 16 if valid else None,
+                delay_ms // 4 if valid else None,
+                int(stats.get("aec3_clockdrift_level", 0)),
+            )
+            self._remover_metrics.update(
+                float(stats.get("aec3_erl_time_domain", 0.0)),
+                float(stats.get("aec3_erle_fullband_log2", 0.0)),
+                bool(stats.get("aec3_saturated_capture", False)),
+                bool(stats.get("aec3_usable_linear_estimate", False)),
+                int(stats.get("aec3_min_filter_delay", 0)),
+            )
+
+    def _refresh_config(self, new_config):
+        """Swap the active config, re-jit the steps, keep the stream state
+        when its pytree structure is unchanged."""
+        self._config = new_config
+        if self._geo is None:
+            return
+        old_state = self._state
+        key = self._geo_key
+        self._geo = None
+        self._ensure_initialized(*key)
+        if old_state is not None:
+            old_def = jax.tree_util.tree_structure(old_state)
+            new_def = jax.tree_util.tree_structure(self._state)
+            if old_def == new_def:
+                self._state = old_state
 
     def set_stream_analog_level(self, level: int):
         """set_stream_analog_level (audio_processing.h:590-596)."""

@@ -84,6 +84,15 @@ class AecDumpRecorder:
             "keypress": bool(keypress),
         })
 
+    def on_runtime_setting(self, setting_type: int, value) -> None:
+        """WriteRuntimeSetting (debug.proto RuntimeSetting message)."""
+        self._events.append({
+            "type": EVENT_RUNTIME_SETTING,
+            "setting_type": int(setting_type),
+            "value": value if isinstance(value, (int, float, bool))
+            else str(value),
+        })
+
     def close(self) -> None:
         np.savez_compressed(
             self._path,
