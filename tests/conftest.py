@@ -7,7 +7,9 @@ is validated on virtual CPU devices as the driver does for
 
 import os
 
-# Force CPU: the environment presets JAX_PLATFORMS=axon (TPU tunnel).
+# Force CPU: the environment presets JAX_PLATFORMS=axon (TPU tunnel), and a
+# sitecustomize module imports jax at interpreter start, so the env var alone
+# is read too late — jax.config.update below is what actually takes effect.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -17,4 +19,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

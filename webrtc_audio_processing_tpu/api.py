@@ -122,9 +122,10 @@ class AudioProcessing:
     """
 
     def __init__(self, config: cfg_mod.Config | None = None,
-                 echo_canceller3_config=None):
+                 echo_canceller3_config=None, injections=None):
         self._config = config or cfg_mod.Config()
         self._aec3_config = echo_canceller3_config
+        self._injections = injections
         self._geo = None
         self._state = None
         self._steps = None
@@ -201,6 +202,7 @@ class AudioProcessing:
             render_input_rate=render_rate or capture_rate,
             num_render_channels=render_channels or 1,
             aec3_cfg=self._aec3_config,
+            injections=self._injections,
         )
         from webrtc_audio_processing_tpu.utils import complex_boundary as cb
 
@@ -399,7 +401,13 @@ class AudioProcessing:
             self._playout_volume = int(v)
         elif t in (RuntimeSetting.PLAYOUT_AUDIO_DEVICE_CHANGE,
                    RuntimeSetting.CUSTOM_RENDER_SETTING):
-            pass  # render pre-processor hooks: no built-in consumer
+            # Render settings are forwarded to the injected render
+            # pre-processor (HandleRenderRuntimeSettings,
+            # audio_processing_impl.cc:1072-1096); no built-in consumer.
+            inj = self._injections
+            rpp = getattr(inj, "render_pre_processing", None)
+            if rpp is not None and rpp.set_runtime_setting is not None:
+                rpp.set_runtime_setting(setting)
         elif t == RuntimeSetting.CAPTURE_OUTPUT_USED:
             self._capture_output_used = bool(v)
         return True

@@ -76,6 +76,11 @@ class ApmGeometry:
     render_processing_channels: int
     aec3: ec3.Aec3Geometry | None
     aecm: ecm.AecmGeometry | None = None
+    # Injected components (builder.Injections); None when nothing injected.
+    injections: object | None = None
+    # Injected EchoControl instance (builder.EchoControlFactory.create
+    # result) replacing the built-in AEC3 (echo_control.h:51-60).
+    echo_control: object | None = None
 
     @staticmethod
     def create(
@@ -87,6 +92,7 @@ class ApmGeometry:
         num_render_channels: int = 1,
         render_output_rate: int | None = None,
         aec3_cfg: aec3_config.EchoCanceller3Config | None = None,
+        injections: object | None = None,
     ) -> "ApmGeometry":
         capture_output_rate = capture_output_rate or capture_input_rate
         render_input_rate = render_input_rate or capture_input_rate
@@ -118,18 +124,27 @@ class ApmGeometry:
         ren_channels = num_render_channels if multi_render else 1
 
         aec_geo = None
+        echo_control = None
+        factory = getattr(injections, "echo_control_factory", None)
+        nree = getattr(injections, "neural_residual_echo_estimator", None)
         if config.echo_canceller.enabled and not config.echo_canceller.mobile_mode:
-            acfg = aec3_cfg or (
-                aec3_config.create_default_multichannel_config()
-                if (config.pipeline.multi_channel_capture
-                    and num_capture_channels > 1)
-                else aec3_config.EchoCanceller3Config()
-            )
-            aec_geo = ec3.Aec3Geometry.create(
-                acfg, cap_rate, ren_channels,
-                num_capture_channels
-                if config.pipeline.multi_channel_capture else 1,
-            )
+            cap_ch = (num_capture_channels
+                      if config.pipeline.multi_channel_capture else 1)
+            if factory is not None:
+                # InitializeEchoController with an injected factory
+                # (audio_processing_impl.cc:1909-1930).
+                echo_control = factory.create(cap_rate, ren_channels, cap_ch)
+            else:
+                acfg = aec3_cfg or (
+                    aec3_config.create_default_multichannel_config()
+                    if (config.pipeline.multi_channel_capture
+                        and num_capture_channels > 1)
+                    else aec3_config.EchoCanceller3Config()
+                )
+                aec_geo = ec3.Aec3Geometry.create(
+                    acfg, cap_rate, ren_channels, cap_ch,
+                    nree=nree,
+                )
 
         aecm_geo = None
         if config.echo_canceller.enabled and config.echo_canceller.mobile_mode:
@@ -155,6 +170,8 @@ class ApmGeometry:
             render_processing_channels=ren_channels,
             aec3=aec_geo,
             aecm=aecm_geo,
+            injections=injections,
+            echo_control=echo_control,
         )
 
     @property
@@ -212,6 +229,11 @@ class ApmState:
     output_rms: rms_level.RmsLevelState
     frame_parity: jnp.ndarray  # () int32 — informational; parity is static
     was_stream_delay_set: jnp.ndarray  # () bool
+    # Injected-component state pytrees (builder.Injections seams).
+    custom_render_pre: object | None = None
+    custom_capture_post: object | None = None
+    custom_analyzer: object | None = None
+    echo_control: object | None = None
 
 
 import functools as _functools
@@ -259,8 +281,36 @@ def _init_aecm_states(geo: ApmGeometry):
     )
 
 
+class _BuiltinEchoDetector:
+    """Adapter giving models/echo_detector.py the EchoDetectorInjection
+    surface (init_state/analyze_*/get_metrics)."""
+
+    init_state = staticmethod(echo_detector.init_state)
+    analyze_render_audio = staticmethod(echo_detector.analyze_render_audio)
+    analyze_capture_audio = staticmethod(echo_detector.analyze_capture_audio)
+    get_metrics = staticmethod(echo_detector.get_metrics)
+
+
+def _ed_module(geo: ApmGeometry):
+    """The active echo detector: injected (SetEchoDetector seam,
+    audio_processing.h:848-879) or the built-in ResidualEchoDetector."""
+    inj = geo.injections
+    if inj is not None and inj.echo_detector is not None:
+        ed = inj.echo_detector
+
+        class _Injected:
+            init_state = staticmethod(ed.init)
+            analyze_render_audio = staticmethod(ed.analyze_render_audio)
+            analyze_capture_audio = staticmethod(ed.analyze_capture_audio)
+            get_metrics = staticmethod(ed.get_metrics)
+
+        return _Injected
+    return _BuiltinEchoDetector
+
+
 def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
     c = geo.config
+    inj = geo.injections
     cap_cfg = geo.capture_buffer_config()
     ren_cfg = geo.render_buffer_config()
     proc_ch = geo.capture_processing_channels
@@ -301,12 +351,28 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
         pf=(post_filter.init_state(proc_ch, dtype)
             if geo.capture_processing_rate >= 32000
             and c.echo_canceller.enabled else None),
-        ed=(echo_detector.init_state(dtype)
+        ed=(_ed_module(geo).init_state(dtype)
             if c.echo_canceller.enabled else None),
         input_rms=rms_level.init_state(),
         output_rms=rms_level.init_state(),
         frame_parity=jnp.asarray(0, jnp.int32),
         was_stream_delay_set=jnp.asarray(False),
+        custom_render_pre=(
+            inj.render_pre_processing.init(geo.render_processing_rate,
+                                           geo.render_processing_channels)
+            if inj is not None and inj.render_pre_processing is not None
+            else None),
+        custom_capture_post=(
+            inj.capture_post_processing.init(geo.capture_processing_rate,
+                                             proc_ch)
+            if inj is not None and inj.capture_post_processing is not None
+            else None),
+        custom_analyzer=(
+            inj.capture_analyzer.init(geo.capture_processing_rate, proc_ch)
+            if inj is not None and inj.capture_analyzer is not None
+            else None),
+        echo_control=(geo.echo_control.init_state()
+                      if geo.echo_control is not None else None),
     )
 
 
@@ -335,13 +401,21 @@ def process_stream_pair(
     # ---------------- Render side (ProcessRenderStreamLocked :1653-1687).
     render_bands = None
     render_out = render_frame
+    inj = geo.injections
     if render_frame is not None:
         rbuf, r = audio_buffer.copy_from(ren_cfg, state.render_buffer,
                                          render_frame)
+        # Injected render pre-processor (:1659-1661) ahead of any render
+        # consumer, as in the reference.
+        if inj is not None and inj.render_pre_processing is not None:
+            cp_state, r = inj.render_pre_processing.process(
+                state.custom_render_pre, r
+            )
+            state = state.replace(custom_render_pre=cp_state)
         # Echo detector render analysis (QueueNonbandedRenderAudio, :1663).
         if state.ed is not None:
             state = state.replace(
-                ed=echo_detector.analyze_render_audio(state.ed, r)
+                ed=_ed_module(geo).analyze_render_audio(state.ed, r)
             )
         if ren_cfg.num_bands > 1:
             rbuf, render_bands = audio_buffer.split_into_frequency_bands(
@@ -467,12 +541,17 @@ def process_stream_pair(
         ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
         new_ns = ns.analyze(ns_params, state.ns, bands[0])
 
-    # AEC3 (:1407-1416).
+    # AEC3 (:1407-1416) — or the injected EchoControl (echo_control.h).
     new_aec = state.aec
+    new_echo_control = state.echo_control
     linear_out = None
     if state.aec is not None and render_bands is not None:
         new_aec, bands, linear_out = ec3.process_frame(
             geo.aec3, state.aec, render_bands, bands, parity % 2
+        )
+    elif state.echo_control is not None and render_bands is not None:
+        new_echo_control, bands, linear_out = geo.echo_control.process_frame(
+            state.echo_control, render_bands, bands, parity % 2
         )
 
     # AECM (mobile mode, :1407-1416 via EchoControlMobileImpl). Runs on
@@ -555,8 +634,17 @@ def process_stream_pair(
     # Echo detector capture analysis (:1462-1465).
     new_ed = state.ed
     if state.ed is not None:
-        new_ed = echo_detector.analyze_capture_audio(state.ed, y)
-        stats.update(echo_detector.get_metrics(new_ed))
+        edm = _ed_module(geo)
+        new_ed = edm.analyze_capture_audio(state.ed, y)
+        stats.update(edm.get_metrics(new_ed))
+
+    # Injected capture analyzer (CustomAudioAnalyzer::Analyze, :1468-1470).
+    if inj is not None and inj.capture_analyzer is not None:
+        state = state.replace(
+            custom_analyzer=inj.capture_analyzer.analyze(
+                state.custom_analyzer, y
+            )
+        )
 
     # AGC2 (:1472-1477).
     new_agc2 = state.agc2
@@ -570,6 +658,13 @@ def process_stream_pair(
     new_pf = state.pf
     if state.pf is not None:
         new_pf, y = post_filter.process(state.pf, y)
+
+    # Injected capture post-processor (CustomProcessing, :1483-1485).
+    if inj is not None and inj.capture_post_processing is not None:
+        cp_state, y = inj.capture_post_processing.process(
+            state.custom_capture_post, y
+        )
+        state = state.replace(custom_capture_post=cp_state)
 
     # Output RMS (:1487-1497).
     output_rms = rms_level.analyze(state.output_rms, y)
@@ -595,8 +690,14 @@ def process_stream_pair(
         input_rms=input_rms,
         output_rms=output_rms,
         frame_parity=jnp.mod(state.frame_parity + 1, 2),
+        custom_render_pre=state.custom_render_pre,
+        custom_capture_post=state.custom_capture_post,
+        custom_analyzer=state.custom_analyzer,
+        echo_control=new_echo_control,
     )
 
     if new_aec is not None:
         stats.update(ec3.get_metrics(geo.aec3, new_aec))
+    elif new_echo_control is not None:
+        stats.update(geo.echo_control.get_metrics(new_echo_control))
     return state, out, render_out, stats

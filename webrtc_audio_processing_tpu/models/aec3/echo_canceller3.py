@@ -41,10 +41,14 @@ class Aec3Geometry:
     num_capture_channels: int
     buffer: rb.BufferGeometry
     delay: de.DelayGeometry
+    # Injected neural residual-echo estimator
+    # (api/audio/neural_residual_echo_estimator.h); None = model-based.
+    nree: object | None = None
 
     @staticmethod
     def create(config: EchoCanceller3Config, sample_rate_hz: int,
-               num_render: int, num_capture: int) -> "Aec3Geometry":
+               num_render: int, num_capture: int,
+               nree: object | None = None) -> "Aec3Geometry":
         return Aec3Geometry(
             config=config,
             sample_rate_hz=sample_rate_hz,
@@ -53,6 +57,7 @@ class Aec3Geometry:
             num_capture_channels=num_capture,
             buffer=rb.BufferGeometry.create(config, sample_rate_hz, num_render),
             delay=de.DelayGeometry.create(config),
+            nree=nree,
         )
 
 
@@ -207,7 +212,7 @@ def _process_capture_block(
     remover, out_block, linear = er.process_capture(
         cfg, state.remover, geo.buffer, buffer, capture_block,
         delay_change, echo_path_gain_change, state.saturated_microphone,
-        est_delay, est_valid,
+        est_delay, est_valid, nree=geo.nree,
     )
 
     new_state = state.replace(

@@ -721,6 +721,7 @@ def process_capture(
     capture_signal_saturation,  # () bool
     external_delay,  # () int32
     external_delay_valid,  # () bool
+    nree=None,  # injected NeuralResidualEchoEstimator (builder.py) or None
 ):
     """EchoRemoverImpl::ProcessCapture (echo_remover.cc:236-450).
 
@@ -827,6 +828,14 @@ def process_capture(
         state.supp_gain.dn_nearend_state, transparent,
         sub_state.refined.current_size,
     )
+    if nree is not None:
+        # Injected neural residual-echo estimate replaces the model-based
+        # R2 (neural_residual_echo_estimator.h:45-55): inputs are the
+        # time-domain render block, y, e and the S2/Y2/E2 power spectra.
+        R2, R2_unbounded = nree.estimate(
+            jnp.swapaxes(x_block[0], 0, 1), y0, e, S2_linear, Y2, E2,
+            state.supp_gain.dn_nearend_state,
+        )
 
     # Suppressor nearend bound (E2 <= Y2 when linear usable).
     E2_bounded = jnp.minimum(E2, Y2)
