@@ -26,4 +26,32 @@ from webrtc_audio_processing_tpu.config import Config
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "ops", "utils", "__version__"]
+__all__ = [
+    "Config",
+    "ops",
+    "utils",
+    "__version__",
+    "AudioProcessing",
+    "AudioProcessingBuilder",
+    "BuiltinAudioProcessingBuilder",
+    "FieldTrials",
+    "RuntimeSetting",
+]
+
+
+def __getattr__(name):
+    # Lazy exports: importing the full API pulls in jax-heavy modules; keep
+    # `import webrtc_audio_processing_tpu` light for config-only use.
+    if name == "AudioProcessing" or name == "RuntimeSetting":
+        from webrtc_audio_processing_tpu import api
+
+        return getattr(api, name)
+    if name in ("AudioProcessingBuilder", "BuiltinAudioProcessingBuilder"):
+        from webrtc_audio_processing_tpu import builder
+
+        return getattr(builder, name)
+    if name == "FieldTrials":
+        from webrtc_audio_processing_tpu import field_trials
+
+        return field_trials.FieldTrials
+    raise AttributeError(name)

@@ -329,6 +329,17 @@ class AudioProcessing:
 
     # ------------------------------------------------------------ params
 
+    def get_linear_aec_output(self):
+        """GetLinearAecOutput (audio_processing.h:584): the linear AEC error
+        signal of the most recent capture frame at 16 kHz, shape
+        (channels, 160), or None when AEC3 is not active."""
+        out = self._last_stats.get("linear_aec_output")
+        if out is None:
+            return None
+        # Internal layout is time-leading (160, C); the reference API hands
+        # out one 160-sample span per channel.
+        return np.asarray(out).T
+
     def set_stream_delay_ms(self, delay_ms: int) -> int:
         """set_stream_delay_ms (audio_processing.h:611)."""
         self._stream_delay_set = True

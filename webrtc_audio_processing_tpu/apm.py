@@ -700,4 +700,8 @@ def process_stream_pair(
         stats.update(ec3.get_metrics(geo.aec3, new_aec))
     elif new_echo_control is not None:
         stats.update(geo.echo_control.get_metrics(new_echo_control))
+    if linear_out is not None:
+        # GetLinearAecOutput (audio_processing.h:584): the 16 kHz linear
+        # AEC error signal of this frame, (C, 160).
+        stats["linear_aec_output"] = linear_out
     return state, out, render_out, stats
