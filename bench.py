@@ -64,12 +64,12 @@ def build_step():
 
     from webrtc_audio_processing_tpu.utils import complex_boundary as cb
 
-    def single_step(state, render, capture, parity):
+    def single_step(state, render, capture, parity, n0=0):
         out = capture
         new_state = dict(state)
         if have_aec:
             aec_state, out_bands, _linear = ec3.process_frame(
-                aec_geo, state["aec"], render[None], out[None], parity
+                aec_geo, state["aec"], render[None], out[None], parity, n0=n0
             )
             new_state["aec"] = aec_state
             out = out_bands[0]
@@ -115,16 +115,23 @@ def measure_streams():
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), init_one
         )
 
-        def pair_step(s, rc):
+        def pair_step(s, rc, n0):
             r0, c0, r1, c1 = rc
             s = cb.decode(s)
-            s, _ = single_step(s, r0, c0, 0)
-            s, y = single_step(s, r1, c1, 1)
+            s, _ = single_step(s, r0, c0, 0, n0=n0)
+            s, y = single_step(s, r1, c1, 1, n0=n0 + 2)
             return cb.encode(s), y[..., 0, 0]
 
-        def chunk(s, frames):
-            return jax.lax.scan(jax.vmap(pair_step, in_axes=(0, 1)), s,
-                                frames)
+        def chunk(s, frames, n0s):
+            # n0s: (CHUNK_PAIRS,) uniform AEC3 block ordinals, one per pair;
+            # unbatched under vmap so ring writes stay batch-uniform.
+            def body(c, xs):
+                fr, n0 = xs
+                return jax.vmap(
+                    pair_step, in_axes=(0, 0, None)
+                )(c, fr, n0)
+            frames_t = jnp.moveaxis(frames, 2, 1)  # (pairs, n, 4, FRAME, 1)
+            return jax.lax.scan(body, s, (frames_t, n0s))
 
         step = jax.jit(chunk)
         frames = jnp.asarray(
@@ -133,14 +140,20 @@ def measure_streams():
             ).astype(np.float32) * 1000
         )  # (pairs, [r0 c0 r1 c1], n, FRAME, 1)
 
-        state, y = step(state, frames)
+        def n0s_for(chunk_idx):
+            base = 5 * CHUNK_PAIRS * chunk_idx
+            return jnp.asarray(
+                base + 5 * np.arange(CHUNK_PAIRS), jnp.int32
+            )
+
+        state, y = step(state, frames, n0s_for(0))
         jax.block_until_ready(y)
         # Take the fastest of several repeats: the remote attachment has
         # intermittent multi-second stalls unrelated to device time.
         best_dt = float("inf")
-        for _ in range(3):
+        for rep in range(3):
             t0 = time.perf_counter()
-            state, y = step(state, frames)
+            state, y = step(state, frames, n0s_for(rep + 1))
             jax.block_until_ready(y)
             dt = (time.perf_counter() - t0) / (2 * CHUNK_PAIRS)
             best_dt = min(best_dt, dt)

@@ -73,11 +73,12 @@ def test_end_to_end_delay_recovery():
     headroom_blocks = cfg.delay.delay_headroom_samples // 64  # 0 (32 samples)
 
     @jax.jit
-    def step(buf, est, render_block, capture_block):
-        buf, _ = rb.insert(geo, cfg, buf, render_block)
+    def step(buf, est, render_block, capture_block, n):
+        buf, _ = rb.insert(geo, cfg, buf, render_block, n)
         buf, _, _ = rb.prepare_capture_processing(geo, cfg, buf)
         est, delay, valid = de.get_delay(
-            dgeo, cfg, est, buf.lowrate, buf.lr_read, capture_block
+            dgeo, cfg, est, buf.lowrate, rb.lr_read_index(geo, buf, n),
+            capture_block,
         )
         return buf, est, delay, valid
 
@@ -90,7 +91,8 @@ def test_end_to_end_delay_recovery():
         r = render[(b + delay_blocks_true) * 64 : (b + delay_blocks_true + 1) * 64]
         c = render[b * 64 : (b + 1) * 64]
         buf, est, delay, valid = step(
-            buf, est, jnp.asarray(r)[None, :, None], jnp.asarray(c)[None, :, None]
+            buf, est, jnp.asarray(r)[None, :, None],
+            jnp.asarray(c)[None, :, None], jnp.asarray(b + 1, jnp.int32),
         )
     # Expected delay: true delay minus the 32-sample headroom, in blocks.
     expected = delay_blocks_true - 1 + headroom_blocks  # 32 samples -> .5 blk

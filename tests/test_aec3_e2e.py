@@ -22,8 +22,10 @@ def _get_steps(rate):
         cfg = aec3_config.EchoCanceller3Config()
         geo = ec3.Aec3Geometry.create(cfg, rate, 1, 1)
         steps = [
-            jax.jit(lambda s, r, y: ec3.process_frame(geo, s, r, y, 0)),
-            jax.jit(lambda s, r, y: ec3.process_frame(geo, s, r, y, 1)),
+            jax.jit(lambda s, r, y, n0: ec3.process_frame(geo, s, r, y, 0,
+                                                          n0=n0)),
+            jax.jit(lambda s, r, y, n0: ec3.process_frame(geo, s, r, y, 1,
+                                                          n0=n0)),
         ]
         _CACHE[rate] = (geo, steps)
     return _CACHE[rate]
@@ -37,7 +39,9 @@ def run_aec3(far, near, rate=16000, frames=None):
     for f in range(n):
         r = jnp.asarray(far[f * 160 : (f + 1) * 160])[None, :, None]
         y = jnp.asarray(near[f * 160 : (f + 1) * 160])[None, :, None]
-        state, out, linear = steps[f % 2](state, r, y)
+        n0 = 5 * (f // 2) + 2 * (f % 2)
+        state, out, linear = steps[f % 2](state, r, y,
+                                          jnp.asarray(n0, jnp.int32))
         outs.append(np.asarray(out[0, :, 0]))
     return np.concatenate(outs), state, geo
 

@@ -35,14 +35,15 @@ def test_subtractor_converges_on_echo():
     p_max = st.refined.H.shape[1]
 
     @jax.jit
-    def step(buf, st, analyzer, r_block, y_block):
-        buf, _ = rb.insert(geo, cfg, buf, r_block)
+    def step(buf, st, analyzer, r_block, y_block, n):
+        buf, _ = rb.insert(geo, cfg, buf, r_block, n)
         buf, _, _ = rb.prepare_capture_processing(geo, cfg, buf)
+        view = rb.RenderView(buf, n)
         analyzer = sub.analyzer_update(
-            cfg, analyzer, geo, buf, jnp.asarray(0), jnp.asarray(False)
+            cfg, analyzer, geo, view, jnp.asarray(0), jnp.asarray(False)
         )
-        X_win = rb.fft_window(geo, buf, p_max)
-        X2 = rb.spectral_sum(geo, buf, 13)
+        X_win = rb.fft_window(geo, view, p_max)
+        X2 = rb.spectral_sum(geo, view, 13)
         st, out = sub.process(
             cfg, st, X_win, X2, X2, y_block, analyzer, jnp.asarray(False)
         )
@@ -56,6 +57,7 @@ def test_subtractor_converges_on_echo():
         buf, st, analyzer, out = step(
             buf, st, analyzer,
             jnp.asarray(rblk)[None, :, None], jnp.asarray(yblk)[None, :],
+            jnp.asarray(b + 1, jnp.int32),
         )
         if b >= n_blocks - 50:
             e2 = float(out["e2_refined"][0])

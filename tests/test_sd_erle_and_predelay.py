@@ -91,7 +91,8 @@ def test_aec3_with_signal_dependent_erle_converges():
 
     steps = [
         jax.jit(
-            lambda s, r, c, p=p: ec3.process_frame(geo, s, r, c, p),
+            lambda s, r, c, n0, p=p: ec3.process_frame(geo, s, r, c, p,
+                                                       n0=n0),
             static_argnames=(),
         )
         for p in (0, 1)
@@ -109,6 +110,7 @@ def test_aec3_with_signal_dependent_erle_converges():
         state, out, _ = steps[k % 2](
             state, jnp.asarray(far, jnp.float32)[None, :, None],
             jnp.asarray(near, jnp.float32)[None, :, None],
+            jnp.asarray(5 * (k // 2) + 2 * (k % 2), jnp.int32),
         )
         nears.append(near)
         outs.append(np.asarray(out)[0, :, 0])
@@ -130,7 +132,8 @@ def test_fixed_capture_predelay_shifts_output():
         geo = ec3.Aec3Geometry.create(cfg, 16000, 1, 1)
         state = ec3.init_state(geo)
         steps = [
-            jax.jit(lambda s, r, c, p=p: ec3.process_frame(geo, s, r, c, p))
+            jax.jit(lambda s, r, c, n0, p=p: ec3.process_frame(geo, s, r, c,
+                                                               p, n0=n0))
             for p in (0, 1)
         ]
         outs = []
@@ -142,6 +145,7 @@ def test_fixed_capture_predelay_shifts_output():
             state, out, _ = steps[k % 2](
                 state, jnp.asarray(far)[None, :, None],
                 jnp.asarray(near)[None, :, None],
+                jnp.asarray(5 * (k // 2) + 2 * (k % 2), jnp.int32),
             )
             outs.append(np.asarray(out)[0, :, 0])
         return np.concatenate(outs)

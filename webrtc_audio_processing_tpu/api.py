@@ -213,10 +213,10 @@ class AudioProcessing:
         geo = self._geo
 
         def make(parity):
-            def fn(state, cap, ren, delay_ms, applied_volume):
+            def fn(state, cap, ren, delay_ms, applied_volume, n0):
                 return apm.process_stream_pair(
                     geo, state, cap, ren, parity, stream_delay_ms=delay_ms,
-                    applied_input_volume=applied_volume,
+                    applied_input_volume=applied_volume, n0=n0,
                 )
 
             return jax.jit(cb.wrap_step(fn))
@@ -301,10 +301,15 @@ class AudioProcessing:
         import jax.numpy as jnp
 
         step = self._steps[self._frame_index % self._parity_period]
+        # AEC3 block ordinal before this frame: 5 blocks per 2 frames
+        # (2 on even parity, 3 on odd — aec3 FrameBlocker cadence).
+        f = self._frame_index
+        n0 = 5 * (f // 2) + 2 * (f % 2)
         self._state, out, _ren_out, stats = step(
             self._state, jnp.asarray(capture), jnp.asarray(render),
             jnp.asarray(self._stream_delay_ms, jnp.int32),
             jnp.asarray(getattr(self, "_analog_level", 0), jnp.int32),
+            jnp.asarray(n0, jnp.int32),
         )
         self._frame_index += 1
         self._last_stats = stats

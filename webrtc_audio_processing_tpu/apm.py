@@ -384,6 +384,10 @@ def process_stream_pair(
     parity: int = 0,
     stream_delay_ms=0,  # () int32 — used by AECM's far fetch
     applied_input_volume=0,  # () int32 — mic volume for AGC2's IVC
+    n0=None,  # () int32 — AEC3 block ordinal before this frame; required
+    #           when AEC3 runs. Must be an unbatched scalar under vmap and
+    #           advance by 2 (even parity) / 3 (odd parity) each frame
+    #           (see aec3/render_buffer.py).
 ):
     """One paired 10 ms step: render analysis + capture processing.
 
@@ -546,8 +550,13 @@ def process_stream_pair(
     new_echo_control = state.echo_control
     linear_out = None
     if state.aec is not None and render_bands is not None:
+        if n0 is None:
+            raise ValueError(
+                "process_stream_pair needs n0 (AEC3 block ordinal) when the "
+                "echo canceller is enabled"
+            )
         new_aec, bands, linear_out = ec3.process_frame(
-            geo.aec3, state.aec, render_bands, bands, parity % 2
+            geo.aec3, state.aec, render_bands, bands, parity % 2, n0=n0
         )
     elif state.echo_control is not None and render_bands is not None:
         new_echo_control, bands, linear_out = geo.echo_control.process_frame(

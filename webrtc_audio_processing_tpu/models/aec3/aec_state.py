@@ -139,7 +139,7 @@ def filter_analyzer_update(
     impulse_responses,  # (C, P_max*64)
     filter_size_samples,  # () int32: current filter length in samples
     geo: rb.BufferGeometry,
-    buf: rb.RenderDelayBufferState,
+    buf: rb.RenderView,
 ):
     """FilterAnalyzer::Update (filter_analyzer.cc:77-101) with the cyclic
     64-sample analysis region."""
@@ -211,11 +211,13 @@ def filter_analyzer_update(
     significant = jnp.where(finalize, new_significant, state.significant_peak)
 
     # Active render at the delay-aligned block.
-    blocks = buf.blocks  # (L, bands, 64, C)
     aligned_idx = jnp.mod(
-        buf.b_read - filter_delays_blocks, geo.num_blocks
+        rb.b_read_index(geo, buf.state, buf.n) - filter_delays_blocks,
+        geo.num_blocks,
     )  # (C,)
-    x_aligned = blocks[aligned_idx][:, 0]  # (C, 64, C_ren)
+    x_aligned = rb._take_rows(
+        buf.state.blocks, aligned_idx, geo.num_blocks
+    )[:, 0]  # (C, 64, C_ren)
     x_energy = jnp.sum(x_aligned**2, axis=1)  # (C, C_ren)
     active = jnp.any(
         x_energy
@@ -997,7 +999,7 @@ def update(
     config: EchoCanceller3Config,
     state: AecStateState,
     geo: rb.BufferGeometry,
-    buf: rb.RenderDelayBufferState,
+    buf: rb.RenderView,
     external_delay,  # () int32 blocks
     external_delay_valid,  # () bool
     frequency_responses,  # (C, P_max, 65)
@@ -1038,7 +1040,12 @@ def update(
     min_delay = jnp.min(filter_delays)
 
     # Active render counters (aec_state.cc:210-228).
-    aligned = buf.blocks[jnp.mod(buf.b_read - min_delay, geo.num_blocks)]
+    aligned = rb._take_rows(
+        buf.state.blocks,
+        jnp.mod(rb.b_read_index(geo, buf.state, buf.n) - min_delay,
+                geo.num_blocks)[None],
+        geo.num_blocks,
+    )[0]
     x_energy = jnp.sum(aligned[0] ** 2, axis=0)  # (C_ren,)
     active_render = jnp.any(
         x_energy > config.render_levels.active_render_limit**2 * BLOCK_SIZE
@@ -1066,10 +1073,14 @@ def update(
     audibility = state.echo_audibility
     if config.echo_audibility.use_stationarity_properties:
         audibility = ea.update(
-            audibility, buf.spectra, buf.s_read, buf.s_write,
+            audibility, buf.state.spectra,
+            rb.s_read_index(geo, buf.state, buf.n),
+            rb.s_write_index(geo, buf.n),
             geo.num_blocks,
-            jnp.swapaxes(buf.blocks[buf.b_write][0], 0, 1).T,
-            reverb.reverb, min_delay, rb.headroom(geo, buf),
+            jnp.swapaxes(
+                buf.state.blocks[rb.b_write_index(geo, buf.n)][0], 0, 1
+            ).T,
+            reverb.reverb, min_delay, rb.headroom(geo, buf.state),
             external_delay_valid,
             config.echo_audibility.use_stationarity_properties_at_init,
         )

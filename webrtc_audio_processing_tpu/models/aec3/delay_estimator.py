@@ -22,6 +22,7 @@ from flax import struct
 
 from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
 from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
+from webrtc_audio_processing_tpu.ops import pallas_mf
 
 BLOCK_SIZE = 64
 BLOCK_SIZE_LOG2 = 6
@@ -244,56 +245,24 @@ def matched_filter_update(
     x2_sum_threshold = length * excitation_limit**2
 
     error_sum_anchor = jnp.sum(y * y)
-
-    # Window build: for filter n, sample i, tap k the read index is
-    # (read + shift_n + sub - 1 - i + k) mod DS (matched_filter.cc:728 and
-    # the per-sample decrement at :186). All (i, k) reads for one filter
-    # lie in the contiguous mod-window [read + shift_n, read + shift_n +
-    # sub - 1 + L), so instead of a (N, sub, L) gather (which costs ~GBs
-    # of index traffic per block on TPU) each filter takes one contiguous
-    # dynamic slice of a wrap-extended ring and the sub windows are static
-    # shifted views of it.
     shifts = jnp.arange(n_filters, dtype=jnp.int32) * geo.shift_samples
     seg_len = sub - 1 + length
-    ring2 = jnp.concatenate([lowrate, lowrate[:seg_len]])
-    starts = jnp.mod(lr_read + shifts, geo.ds_size)  # (N,)
-    segs = jax.vmap(
-        lambda s0: jax.lax.dynamic_slice(ring2, (s0,), (seg_len,))
-    )(starts)  # (N, seg_len)
-    xw = jnp.stack(
-        [segs[:, sub - 1 - i : sub - 1 - i + length] for i in range(sub)],
-        axis=1,
-    )  # (N, sub, L)
-    x2_sums = jnp.sum(xw * xw, axis=-1)  # (N, sub)
-    saturation = (y >= 32000.0) | (y <= -32000.0)  # (sub,)
-
     acc_chunks = length // ACC_ERR_RATE
 
-    def sample_step(carry, i):
-        h, updated, err_sum, acc_err = carry
-        x_i = xw[:, i, :]  # (N, L)
-        s_partial = jnp.cumsum(
-            (h * x_i).reshape(n_filters, acc_chunks, ACC_ERR_RATE).sum(-1),
-            axis=-1,
-        )  # (N, L/4) prefix filter outputs
-        s = s_partial[:, -1]
-        e = y[i] - s  # (N,)
-        acc_err = acc_err + (y[i] - s_partial) ** 2
-        do_update = (x2_sums[:, i] > x2_sum_threshold) & ~saturation[i]
-        alpha = jnp.where(
-            do_update, smoothing * e / jnp.maximum(x2_sums[:, i], 1e-30), 0.0
-        )
-        h = h + alpha[:, None] * x_i
-        return (h, updated | do_update, err_sum + e * e, acc_err), None
-
-    init = (
-        state.filters,
-        jnp.zeros((n_filters,), bool),
-        jnp.zeros((n_filters,)),
-        jnp.zeros((n_filters, acc_chunks)),
+    # NLMS bank core: Pallas kernel on TPU (VMEM-resident sliding windows;
+    # see ops/pallas_mf.py), reference-order XLA scan on CPU / single
+    # stream. Returns the per-sample NLMS steps `alphas`, which determine
+    # every intermediate filter exactly (h_i = h0 + sum_{j<i} a_j x_j) —
+    # the pre-echo statistics below are reconstructed from them for the
+    # winner filter only instead of materializing all (N, sub, L) windows.
+    nlms = pallas_mf.make_nlms(
+        n_filters, geo.shift_samples, geo.ds_size,
+        float(x2_sum_threshold), sub=sub, taps=length,
+        interpret=jax.default_backend() != "tpu",
     )
-    (h, filters_updated, error_sums, inst_acc_err), _ = jax.lax.scan(
-        sample_step, init, jnp.arange(sub)
+    h, alphas, error_sums, filters_updated, segs = nlms(
+        lowrate, lr_read, state.filters, y,
+        jnp.broadcast_to(smoothing, ()).astype(jnp.float32),
     )
 
     # Lag estimates: peak of h^2 per filter (aec3::MaxSquarePeakIndex).
@@ -342,24 +311,52 @@ def matched_filter_update(
             state.last_detected_best_lag_filter == winner_index
         )
         do_acc = matches_last & (error_sum_anchor > 1.0)
-        inst_sel = inst_acc_err[jnp.maximum(winner_index, 0)]
+        winner_row = jnp.maximum(winner_index, 0)
+        # Row select/update via a filter-axis one-hot: N is tiny (5) and a
+        # dynamic-index scatter would serialize per stream under vmap.
+        row_oh = (jnp.arange(n_filters) == winner_row)[:, None]  # (N, 1)
+
+        # Winner-row instantaneous accumulated error, reconstructed from
+        # the NLMS steps: s_partial[i, c] = chunkprefix(h_i . x_i) with
+        # h_i = h0 + sum_{j<i} a_j x_j (matches the reference's in-loop
+        # accumulation exactly up to fp reordering). Only the winner's
+        # (sub, L) window set materializes; its segment comes from the
+        # NLMS core's gathered windows (no per-stream dynamic slice).
+        seg_w = jnp.sum(jnp.where(row_oh, segs, 0.0), axis=0)
+        xw_w = jnp.stack(
+            [seg_w[sub - 1 - i : sub - 1 - i + length] for i in range(sub)]
+        )  # (sub, L)
+        h0_w = jnp.sum(jnp.where(row_oh, state.filters, 0.0), axis=0)
+        alpha_w = jnp.sum(
+            jnp.where(row_oh, alphas, 0.0), axis=0
+        )  # (sub,)
+        P0 = jnp.cumsum(
+            (h0_w[None, :] * xw_w).reshape(
+                sub, acc_chunks, ACC_ERR_RATE
+            ).sum(-1),
+            axis=-1,
+        )  # (sub, chunks)
+        wa = alpha_w[:, None] * xw_w
+        Wex = jnp.cumsum(wa, axis=0) - wa  # strict prefix over samples
+        PW = jnp.cumsum(
+            (Wex * xw_w).reshape(sub, acc_chunks, ACC_ERR_RATE).sum(-1),
+            axis=-1,
+        )
+        s_partial = P0 + PW
+        inst_sel = jnp.sum((y[:, None] - s_partial) ** 2, axis=0)
         err_norm = inst_sel / jnp.maximum(error_sum_anchor, 1e-30)
-        cur = acc_err[jnp.maximum(winner_index, 0)]
+        cur = jnp.sum(jnp.where(row_oh, acc_err, 0.0), axis=0)
         new_row = jnp.where(
             err_norm < cur, err_norm, cur + 0.015 * (err_norm - cur)
         )
-        acc_err = jnp.where(
-            do_acc,
-            acc_err.at[jnp.maximum(winner_index, 0)].set(new_row),
-            acc_err,
-        )
+        acc_err = jnp.where(do_acc & row_oh, new_row[None, :], acc_err)
         num_updates = num_updates + jnp.where(do_acc, 1, 0)
 
         # ComputePreEchoLag (matched_filter.cc:60-78).
-        shift_winner = jnp.maximum(winner_index, 0) * geo.shift_samples
+        shift_winner = winner_row * geo.shift_samples
         base_estimate = winner_lag - shift_winner
         max_pre_lag = jnp.minimum(base_estimate // ACC_ERR_RATE, acc_chunks)
-        row = acc_err[jnp.maximum(winner_index, 0)]
+        row = jnp.sum(jnp.where(row_oh, acc_err, 0.0), axis=0)
         ks = jnp.arange(acc_chunks)
         in_range = ks < max_pre_lag
         # blocked[k] = any(row[j] > 0.5 for j in [k, max_pre_lag)).
@@ -392,16 +389,23 @@ def matched_filter_update(
     )
 
 
+def _one_hot_i32(idx, size):
+    """int32 one-hot built from an iota compare — stays vectorized under
+    vmap (a scatter here would serialize into a per-stream loop on TPU)."""
+    return (jnp.arange(size) == idx).astype(jnp.int32)
+
+
 def _peak_aggregate(state: PeakAggregatorState, lag):
     """HighestPeakAggregator::Aggregate (matched_filter_lag_aggregator.cc)."""
+    size = state.histogram.shape[0]
     old = state.histogram_data[state.histogram_data_index]
-    hist = state.histogram.at[old].add(-1)
-    hist = hist.at[lag].add(1)
+    hist = (
+        state.histogram - _one_hot_i32(old, size) + _one_hot_i32(lag, size)
+    )
+    slot = _one_hot_i32(state.histogram_data_index, HISTOGRAM_DATA_SIZE)
     return PeakAggregatorState(
         histogram=hist,
-        histogram_data=state.histogram_data.at[state.histogram_data_index].set(
-            lag
-        ),
+        histogram_data=state.histogram_data * (1 - slot) + lag * slot,
         histogram_data_index=jnp.mod(
             state.histogram_data_index + 1, HISTOGRAM_DATA_SIZE
         ),
@@ -415,11 +419,11 @@ def _pre_echo_aggregate(geo: DelayGeometry, state: PreEchoAggregatorState,
     size = state.histogram.shape[0]
     block = jnp.clip(pre_echo_lag >> geo.ds_block_size_log2, 0, size - 1)
     old = state.histogram_data[state.histogram_data_index]
-    hist = jnp.where(
-        old != -1, state.histogram.at[jnp.maximum(old, 0)].add(-1),
-        state.histogram,
+    hist = (
+        state.histogram
+        - jnp.where(old != -1, _one_hot_i32(jnp.maximum(old, 0), size), 0)
+        + _one_hot_i32(block, size)
     )
-    hist = hist.at[block].add(1)
 
     number_updates = state.number_updates
     in_startup = number_updates < NUM_BLOCKS_PER_SECOND * 2
@@ -441,11 +445,10 @@ def _pre_echo_aggregate(geo: DelayGeometry, state: PreEchoAggregatorState,
     plain_candidate = jnp.argmax(hist).astype(jnp.int32)
     cand_block = jnp.where(in_startup, startup_candidate, plain_candidate)
 
+    slot = _one_hot_i32(state.histogram_data_index, HISTOGRAM_DATA_SIZE)
     return PreEchoAggregatorState(
         histogram=hist,
-        histogram_data=state.histogram_data.at[state.histogram_data_index].set(
-            block
-        ),
+        histogram_data=state.histogram_data * (1 - slot) + block * slot,
         histogram_data_index=jnp.mod(
             state.histogram_data_index + 1, HISTOGRAM_DATA_SIZE
         ),

@@ -100,7 +100,9 @@ def _update_stationarity_flags(st: StationarityState, spectra, s_read,
                          WINDOW_LENGTH - 1)
     offsets = delay_blocks - lookahead + jnp.arange(WINDOW_LENGTH)
     idx = jnp.mod(s_read + offsets, num_blocks)
-    window = spectra[idx]  # (13, C, 65)
+    from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
+
+    window = rb._take_rows(spectra, idx, num_blocks)  # (13, C, 65)
     acum = jnp.sum(jnp.mean(window, axis=1), axis=0) + average_reverb
     noise = WINDOW_LENGTH * st.noise_spectrum
     flags = acum < THR_STATIONARITY * noise

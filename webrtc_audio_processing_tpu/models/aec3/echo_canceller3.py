@@ -160,6 +160,7 @@ def _process_capture_block(
     state: EchoCanceller3State,
     capture_block,  # (bands, 64, C_cap)
     echo_path_gain_change,
+    n,  # () int32 — uniform total insert count (see render_buffer.py)
 ):
     """BlockProcessorImpl::ProcessCapture (block_processor.cc:84-200) for one
     block. Returns (state, out_block, linear_block)."""
@@ -196,8 +197,8 @@ def _process_capture_block(
 
     # Delay estimation and alignment.
     delay_state, est_delay, est_valid = de.get_delay(
-        geo.delay, cfg, delay_state, buffer.lowrate, buffer.lr_read,
-        capture_block,
+        geo.delay, cfg, delay_state, buffer.lowrate,
+        rb.lr_read_index(geo.buffer, buffer, n), capture_block,
     )
     buffer, changed = rb.align_from_delay(geo.buffer, cfg, buffer, est_delay)
     changed = changed & est_valid
@@ -210,7 +211,8 @@ def _process_capture_block(
     del clock_drift  # config-level clock drift flag is used inside remover
 
     remover, out_block, linear = er.process_capture(
-        cfg, state.remover, geo.buffer, buffer, capture_block,
+        cfg, state.remover, geo.buffer, rb.RenderView(buffer, n),
+        capture_block,
         delay_change, echo_path_gain_change, state.saturated_microphone,
         est_delay, est_valid, nree=geo.nree,
     )
@@ -232,6 +234,8 @@ def process_frame(
     capture_frame,  # (bands, 160, C_cap)
     parity: int,  # static 0/1 frame parity
     level_change=False,
+    n0=None,  # () int32 — total blocks inserted BEFORE this frame; must be
+    #           an unbatched scalar under vmap (see render_buffer.py).
 ):
     """One paired 10 ms frame through the AEC3 block pipeline.
 
@@ -241,6 +245,13 @@ def process_frame(
     does). Returns (state, out_frame, linear_frame or None).
     """
     cfg = geo.config
+    if n0 is None:
+        raise ValueError(
+            "process_frame now requires n0 (the uniform block ordinal); "
+            "pass 0 for the first frame and advance by the number of blocks "
+            "per frame (2 for parity 0, 3 for parity 1)."
+        )
+    n0 = jnp.asarray(n0, jnp.int32)
 
     # AnalyzeCapture saturation scan (echo_canceller3.cc:862-874): fullband
     # channel-wise; band 0 carries the fullband content at 16 kHz. The
@@ -273,13 +284,14 @@ def process_frame(
                                       parity)
     buffer = state.buffer
     event = state.render_event_pending
-    for blk in r_blocks:
-        buffer, ev = rb.insert(geo.buffer, cfg, buffer, blk)
+    for k, blk in enumerate(r_blocks):
+        buffer, ev = rb.insert(geo.buffer, cfg, buffer, blk, n0 + k + 1)
         event = jnp.maximum(event, ev)
     state = state.replace(
         buffer=buffer, render_blocker_carry=r_carry,
         render_event_pending=event,
     )
+    n = n0 + len(r_blocks)
 
     # Capture side: block, process, reframe.
     c_blocks, c_carry = _split_blocks(capture_frame,
@@ -288,7 +300,7 @@ def process_frame(
     linear_blocks = []
     for blk in c_blocks:
         state, out_blk, linear = _process_capture_block(
-            geo, state, blk, jnp.asarray(level_change)
+            geo, state, blk, jnp.asarray(level_change), n
         )
         out_blocks.append(out_blk)
         linear_blocks.append(jnp.swapaxes(linear, 0, 1)[None])  # (1, 64, C)

@@ -87,21 +87,33 @@ def comfort_noise_compute(config: EchoCanceller3Config,
     N2_used = jnp.where(in_initial, N2_init, N2)
 
     # GenerateComfortNoise (:51-101): LCG random phase per bin 1..63 per ch.
+    # seed_{k+1} = (seed_k * 69069 + 1) mod 2^31 has the closed form
+    # seed_k = (A_k seed_0 + B_k) mod 2^31 with A_k = 69069^k, B_k the
+    # k-step image of 0 — precomputed constants turn the sequential scan
+    # into one vectorized affine map (mod-2^31 composes through the
+    # uint32 wraparound because 2^31 | 2^32).
     num_capture = Y2.shape[0]
     n_rand = num_capture * 63
-    seeds = [state.seed]
-    # seed = (seed * 69069 + 1) & 0x7fffffff, unrolled via scan.
-    def lcg(seed, _):
-        seed = (seed * jnp.uint32(69069) + jnp.uint32(1)) & jnp.uint32(
-            0x7FFFFFFF
-        )
-        return seed, seed
-    final_seed, seq = jax.lax.scan(
-        lcg, state.seed, None, length=n_rand
-    )
+    A = np.empty(n_rand, np.uint32)
+    Bc = np.empty(n_rand, np.uint32)
+    a_k, b_k = 1, 0
+    for k in range(n_rand):
+        a_k = (a_k * 69069) % (1 << 31)
+        b_k = (b_k * 69069 + 1) % (1 << 31)
+        A[k], Bc[k] = a_k, b_k
+    seq = (
+        jnp.asarray(A) * state.seed + jnp.asarray(Bc)
+    ) & jnp.uint32(0x7FFFFFFF)
+    final_seed = seq[-1]
     idx = (seq >> 26).astype(jnp.int32).reshape(num_capture, 63)
-    x = SQRT2_SIN[idx]
-    y = SQRT2_SIN[(idx + 8) & 31]
+    # Table lookups via one-hot contraction (a 32-entry gather with traced
+    # indices would serialize per stream under vmap).
+    oh = (idx[..., None] == jnp.arange(32)).astype(jnp.float32)
+    oh8 = ((((idx + 8) & 31))[..., None] == jnp.arange(32)).astype(
+        jnp.float32
+    )
+    x = oh @ SQRT2_SIN
+    y = oh8 @ SQRT2_SIN
 
     N = jnp.sqrt(N2_used)
     hi_level = jnp.sum(N[:, 32:], axis=-1) * (1.0 / 34.0)
@@ -118,7 +130,6 @@ def comfort_noise_compute(config: EchoCanceller3Config,
         seed=final_seed, N2_initial=N2_init, Y2_smoothed=Y2s, N2=N2,
         N2_counter=counter,
     )
-    del seeds
     return new_state, N_low.astype(jnp.complex64), N_high.astype(
         jnp.complex64
     ), N2_used
@@ -149,7 +160,7 @@ def residual_echo_estimate(
     config: EchoCanceller3Config,
     state: ResidualEchoState,
     geo: rb.BufferGeometry,
-    buf: rb.RenderDelayBufferState,
+    buf: rb.RenderView,
     aec: aecs.AecStateState,
     S2_linear,  # (C, 65)
     Y2,  # (C, 65)
@@ -714,7 +725,7 @@ def process_capture(
     config: EchoCanceller3Config,
     state: EchoRemoverState,
     geo: rb.BufferGeometry,
-    buf: rb.RenderDelayBufferState,
+    buf: rb.RenderView,
     capture_block,  # (bands, 64, C)
     delay_change,  # () bool (echo path variability)
     gain_change,  # () bool

@@ -4,16 +4,30 @@ Reference: aec3/decimator.{h,cc}, aec3/alignment_mixer.cc,
 aec3/render_delay_buffer.cc (+ block/spectrum/fft/downsampled ring buffers).
 
 TPU re-design: the four C++ ring buffers become fixed-size arrays in one
-state pytree with traced int32 read/write indices; the exact index algebra
-of the reference is preserved (blocks increment forward, spectra/ffts
-decrement, the low-rate buffer moves in -16 sample steps and stores each
-decimated sub-block time-reversed). All window reads used by the filters are
-static-size gathers modulo the buffer length.
+state pytree. The ring *write* positions are pure functions of the global
+insert ordinal ``n`` (they advance deterministically and are never reset by
+any event — render_delay_buffer.cc resets only the read side), so ``n`` is
+threaded through as an UNBATCHED scalar: under ``vmap`` over a stream batch
+every write lowers to one dynamic-update-slice at a batch-uniform index
+instead of a per-stream scatter (which XLA's scatter expander would
+serialize into a loop over streams). Per-stream state keeps only the two
+read-side distances:
+
+  * ``b_delay``   = (b_write - b_read) mod L = (s_read - s_write) mod L —
+    the reference advances the block read/spectrum read pointers together
+    (render_delay_buffer.cc:438-443, :349-355), so one distance covers both;
+  * ``lr_latency`` = (lr_read - lr_write) mod DS in samples for the
+    decimated low-rate buffer.
+
+The exact index algebra of the reference is preserved: blocks increment
+forward, spectra/ffts decrement, the low-rate buffer moves in -16 sample
+steps and stores each decimated sub-block time-reversed.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -116,12 +130,8 @@ class RenderDelayBufferState:
     spectra: jnp.ndarray  # (L, C, 65)
     ffts: jnp.ndarray  # (L, C, 65) complex64
     lowrate: jnp.ndarray  # (DS,)
-    b_write: jnp.ndarray  # () int32, increments
-    b_read: jnp.ndarray
-    s_write: jnp.ndarray  # () int32, decrements (shared by spectra+ffts)
-    s_read: jnp.ndarray
-    lr_write: jnp.ndarray  # () int32, steps of -sub_block_size
-    lr_read: jnp.ndarray
+    b_delay: jnp.ndarray  # () int32: (b_write - b_read) mod L
+    lr_latency: jnp.ndarray  # () int32: (lr_read - lr_write) mod DS, samples
     prev_band0: jnp.ndarray  # (C, 64) last inserted band-0 block
 
     delay: jnp.ndarray  # () int32 (valid when has_delay)
@@ -142,6 +152,49 @@ EVENT_RENDER_OVERRUN = 1
 EVENT_RENDER_UNDERRUN = 2
 
 
+# --------------------------------------------------- write-position algebra
+#
+# After n inserts (n counts the post-increment ordinal of IncrementWriteIndices,
+# render_delay_buffer.cc:438-443):
+#   b_write(n)  =  n mod L          (blocks increment forward)
+#   s_write(n)  = -n mod L          (spectra/ffts decrement)
+#   lr_write(n) = -n*sub mod DS     (low-rate, -sub_block_size sample steps)
+# Read positions follow from the per-stream distances:
+#   b_read  = (b_write - b_delay) mod L
+#   s_read  = (s_write + b_delay) mod L
+#   lr_read = (lr_write + lr_latency) mod DS
+
+
+def _as_n(n):
+    return jnp.asarray(n, jnp.int32)
+
+
+def b_write_index(geo: BufferGeometry, n):
+    return jnp.mod(_as_n(n), geo.num_blocks)
+
+
+def s_write_index(geo: BufferGeometry, n):
+    return jnp.mod(-_as_n(n), geo.num_blocks)
+
+
+def lr_write_index(geo: BufferGeometry, n):
+    return jnp.mod(-_as_n(n) * geo.sub_block_size, geo.ds_size)
+
+
+def s_read_index(geo: BufferGeometry, state, n):
+    return jnp.mod(-_as_n(n) + state.b_delay, geo.num_blocks)
+
+
+def b_read_index(geo: BufferGeometry, state, n):
+    return jnp.mod(_as_n(n) - state.b_delay, geo.num_blocks)
+
+
+def lr_read_index(geo: BufferGeometry, state, n):
+    return jnp.mod(
+        -_as_n(n) * geo.sub_block_size + state.lr_latency, geo.ds_size
+    )
+
+
 def init_state(geo: BufferGeometry, config: EchoCanceller3Config,
                dtype=jnp.float32) -> RenderDelayBufferState:
     aa_sections = 3 if geo.down_sampling_factor == 4 else 5
@@ -153,12 +206,8 @@ def init_state(geo: BufferGeometry, config: EchoCanceller3Config,
         ffts=jnp.zeros((geo.num_blocks, geo.num_channels, NUM_BINS),
                        jnp.complex64),
         lowrate=jnp.zeros((geo.ds_size,), dtype),
-        b_write=jnp.asarray(0, jnp.int32),
-        b_read=jnp.asarray(0, jnp.int32),
-        s_write=jnp.asarray(0, jnp.int32),
-        s_read=jnp.asarray(0, jnp.int32),
-        lr_write=jnp.asarray(0, jnp.int32),
-        lr_read=jnp.asarray(0, jnp.int32),
+        b_delay=jnp.asarray(0, jnp.int32),
+        lr_latency=jnp.asarray(0, jnp.int32),
         prev_band0=jnp.zeros((geo.num_channels, BLOCK_SIZE), dtype),
         delay=jnp.asarray(config.delay.default_delay, jnp.int32),
         has_delay=jnp.asarray(False),
@@ -178,33 +227,23 @@ def init_state(geo: BufferGeometry, config: EchoCanceller3Config,
     return reset(geo, config, state)
 
 
-def _apply_total_delay(geo: BufferGeometry, state, total_delay):
-    """ApplyTotalDelay (render_delay_buffer.cc:349-355)."""
-    return state.replace(
-        b_read=jnp.mod(state.b_write - total_delay, geo.num_blocks),
-        s_read=jnp.mod(state.s_write + total_delay, geo.num_blocks),
-    )
-
-
 def reset(geo: BufferGeometry, config: EchoCanceller3Config,
           state: RenderDelayBufferState) -> RenderDelayBufferState:
     """RenderDelayBufferImpl::Reset (render_delay_buffer.cc:148-186).
 
     No external audio buffer delay support yet: applies the default delay and
-    unsets the delay estimate.
+    unsets the delay estimate. Touches only the read-side distances — the
+    write positions are phase-derived and unaffected (as in the reference,
+    which never rewinds write indices).
     """
-    state = state.replace(
+    return state.replace(
         min_latency_blocks=jnp.asarray(0, jnp.int32),
         excess_render_detection_counter=jnp.asarray(0, jnp.int32),
-        lr_read=jnp.mod(state.lr_write + geo.sub_block_size, geo.ds_size),
-    )
-    state = _apply_total_delay(geo, state, config.delay.default_delay)
-    return state.replace(has_delay=jnp.asarray(False))
-
-
-def _select_state(pred, a, b):
-    return jax.tree_util.tree_map(
-        lambda x, y: jnp.where(pred, x, y), a, b
+        # lr_read = lr_write + sub (:168).
+        lr_latency=jnp.asarray(geo.sub_block_size, jnp.int32),
+        # ApplyTotalDelay(default_delay) (:349-355).
+        b_delay=jnp.asarray(config.delay.default_delay, jnp.int32),
+        has_delay=jnp.asarray(False),
     )
 
 
@@ -296,21 +335,23 @@ def _decimate(geo: BufferGeometry, state, x):
 
 
 def insert(geo: BufferGeometry, config: EchoCanceller3Config,
-           state: RenderDelayBufferState, block):
+           state: RenderDelayBufferState, block, n):
     """RenderDelayBufferImpl::Insert (render_delay_buffer.cc:189-231).
 
-    block: (bands, 64, C). Returns (state, event).
+    block: (bands, 64, C); ``n`` is the post-increment insert ordinal (the
+    first insert ever passes n=1) and MUST be an unbatched scalar under
+    vmap. Returns (state, event).
     """
-    previous_write = state.b_write
+    n = _as_n(n)
 
-    # IncrementWriteIndices (:438-443).
-    state = state.replace(
-        lr_write=jnp.mod(state.lr_write - geo.sub_block_size, geo.ds_size),
-        b_write=jnp.mod(state.b_write + 1, geo.num_blocks),
-        s_write=jnp.mod(state.s_write - 1, geo.num_blocks),
+    # IncrementWriteIndices (:438-443) in distance form: the write side
+    # advances (phase-derived from n), so both read distances grow.
+    b_delay = jnp.mod(state.b_delay + 1, geo.num_blocks)
+    lr_latency = jnp.mod(
+        state.lr_latency + geo.sub_block_size, geo.ds_size
     )
-
-    overrun = (state.lr_read == state.lr_write) | (state.b_read == state.b_write)
+    overrun = (lr_latency == 0) | (b_delay == 0)
+    state = state.replace(b_delay=b_delay, lr_latency=lr_latency)
 
     # Render activity detection (:214-218, :415-419).
     x0 = block[0, :, 0]
@@ -325,12 +366,15 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
         render_activity=state.render_activity | (counter >= 20),
     )
 
-    # InsertBlock (:367-407).
+    # InsertBlock (:367-407). All writes land at batch-uniform indices.
     gain = 10.0 ** (config.render_levels.render_power_gain_db / 20.0)
     if gain != 1.0:
         block = block * gain
     state = state.replace(
-        blocks=state.blocks.at[state.b_write].set(block)
+        blocks=jax.lax.dynamic_update_slice(
+            state.blocks, block[None].astype(state.blocks.dtype),
+            (b_write_index(geo, n), 0, 0, 0),
+        )
     )
 
     band0 = jnp.swapaxes(block[0], 0, 1)  # (C, 64)
@@ -342,28 +386,46 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     # Decimated sub-block stored time-reversed at the write index (:389).
     state = state.replace(
         lowrate=jax.lax.dynamic_update_slice(
-            state.lowrate, ds[::-1], (state.lr_write,)
+            state.lowrate, ds[::-1], (lr_write_index(geo, n),)
         )
     )
 
     X = aec3_fft.padded_fft(band0, state.prev_band0)  # (C, 65)
+    s_w = s_write_index(geo, n)
     state = state.replace(
-        ffts=state.ffts.at[state.s_write].set(X),
-        spectra=state.spectra.at[state.s_write].set(aec3_fft.spectrum(X)),
+        ffts=jax.lax.dynamic_update_slice(
+            state.ffts, X[None].astype(state.ffts.dtype), (s_w, 0, 0)
+        ),
+        spectra=jax.lax.dynamic_update_slice(
+            state.spectra, aec3_fft.spectrum(X)[None], (s_w, 0, 0)
+        ),
         prev_band0=band0,
     )
 
-    # Overrun triggers a reset (:227-229).
+    # Overrun triggers a reset (:227-229) — read-side fields only.
     reset_state = reset(geo, config, state)
-    state = _select_state(overrun, reset_state, state)
+
+    def pick(a, b):
+        return jnp.where(overrun, a, b)
+
+    state = state.replace(
+        min_latency_blocks=pick(reset_state.min_latency_blocks,
+                                state.min_latency_blocks),
+        excess_render_detection_counter=pick(
+            reset_state.excess_render_detection_counter,
+            state.excess_render_detection_counter,
+        ),
+        lr_latency=pick(reset_state.lr_latency, state.lr_latency),
+        b_delay=pick(reset_state.b_delay, state.b_delay),
+        has_delay=pick(reset_state.has_delay, state.has_delay),
+    )
     event = jnp.where(overrun, EVENT_RENDER_OVERRUN, EVENT_NONE)
     return state, event
 
 
 def buffer_latency(geo: BufferGeometry, state) -> jnp.ndarray:
     """BufferLatency (render_delay_buffer.cc:431-436), in blocks."""
-    samples = jnp.mod(geo.ds_size + state.lr_read - state.lr_write, geo.ds_size)
-    return samples // geo.sub_block_size
+    return state.lr_latency // geo.sub_block_size
 
 
 def prepare_capture_processing(geo: BufferGeometry,
@@ -383,35 +445,44 @@ def prepare_capture_processing(geo: BufferGeometry,
         excess_render_detection_counter=jnp.where(check, 0, counter),
     )
 
-    underrun = state.lr_read == state.lr_write
+    underrun = state.lr_latency == 0
 
-    def inc_read(state):
-        can_move = state.b_read != state.b_write
-        return state.replace(
-            b_read=jnp.where(
-                can_move, jnp.mod(state.b_read + 1, geo.num_blocks), state.b_read
-            ),
-            s_read=jnp.where(
-                can_move, jnp.mod(state.s_read - 1, geo.num_blocks), state.s_read
-            ),
-        )
+    # Advancing the block/spectrum read pointers shrinks b_delay; they only
+    # move while they have not caught up with the write side (:247-258).
+    can_move = state.b_delay != 0
+    b_delay_inc = jnp.where(can_move, state.b_delay - 1, state.b_delay)
 
-    # Normal path: advance low-rate and block read indices.
-    normal = inc_read(state).replace(
-        lr_read=jnp.mod(state.lr_read - geo.sub_block_size, geo.ds_size)
+    # Normal path: also advance the low-rate read (latency -= sub).
+    normal_lr = jnp.mod(
+        state.lr_latency - geo.sub_block_size, geo.ds_size
     )
-    # Underrun path: advance block read only; delay shrinks by one.
-    under = inc_read(state)
-    under = under.replace(
-        delay=jnp.where(
-            under.has_delay, jnp.maximum(under.delay - 1, 0), under.delay
-        )
+    # Underrun path: low-rate read stays; delay shrinks by one.
+    under_delay = jnp.where(
+        state.has_delay, jnp.maximum(state.delay - 1, 0), state.delay
     )
     # Excess render: full reset.
-    excess_state = reset(geo, config, state)
+    reset_state = reset(geo, config, state)
 
-    state = _select_state(
-        excess, excess_state, _select_state(underrun, under, normal)
+    state = state.replace(
+        b_delay=jnp.where(
+            excess, reset_state.b_delay, b_delay_inc
+        ),
+        lr_latency=jnp.where(
+            excess, reset_state.lr_latency,
+            jnp.where(underrun, state.lr_latency, normal_lr),
+        ),
+        delay=jnp.where(
+            excess, state.delay,
+            jnp.where(underrun, under_delay, state.delay),
+        ),
+        has_delay=jnp.where(excess, reset_state.has_delay, state.has_delay),
+        min_latency_blocks=jnp.where(
+            excess, reset_state.min_latency_blocks, state.min_latency_blocks
+        ),
+        excess_render_detection_counter=jnp.where(
+            excess, reset_state.excess_render_detection_counter,
+            state.excess_render_detection_counter,
+        ),
     )
     event = jnp.where(
         excess,
@@ -439,59 +510,100 @@ def align_from_delay(geo: BufferGeometry, config: EchoCanceller3Config,
     unchanged = state.has_delay & (state.delay == delay)
     latency = buffer_latency(geo, state)
     total = jnp.clip(latency + delay, 0, geo.max_delay)
-    applied = _apply_total_delay(geo, state, total).replace(
-        delay=delay, has_delay=jnp.asarray(True)
-    )
-    return _select_state(unchanged, state, applied), ~unchanged
+    return state.replace(
+        b_delay=jnp.where(unchanged, state.b_delay, total),
+        delay=jnp.where(unchanged, state.delay, delay),
+        has_delay=jnp.asarray(True) | unchanged,
+    ), ~unchanged
 
 
 # ---------------------------------------------------------------- reads
 
 
-def fft_window(geo: BufferGeometry, state, num_partitions: int):
+class RenderView(NamedTuple):
+    """A RenderBuffer read handle: buffer state + the uniform insert ordinal.
+
+    Mirrors the reference's ``RenderBuffer`` (render_buffer.h), which is a
+    read-only facade over the ring buffers positioned at the current read
+    indices. ``n`` must be the same unbatched scalar that produced the last
+    ``insert``.
+    """
+
+    state: "RenderDelayBufferState"
+    n: jnp.ndarray
+
+
+def _take_rows(buf, rows, L):
+    """Row gather as a one-hot contraction.
+
+    A dynamic-index gather with per-stream indices is expanded by XLA:TPU
+    into a serial loop over the batch under vmap; a one-hot matmul rides
+    the MXU instead. buf: (L, ...); rows: (R,) int32 already reduced
+    mod L. Returns (R, ...)."""
+    oh = (rows[:, None] == jnp.arange(L)).astype(jnp.float32)  # (R, L)
+    flat = buf.reshape(L, -1)
+    if jnp.iscomplexobj(buf):
+        out = (
+            oh @ flat.real + 1j * (oh @ flat.imag)
+        ).astype(buf.dtype)
+    else:
+        out = (oh @ flat).astype(buf.dtype)
+    return out.reshape((rows.shape[0],) + buf.shape[1:])
+
+
+def fft_window(geo: BufferGeometry, view: RenderView, num_partitions: int):
     """The `num_partitions` FFTs starting at Position() (newest first).
 
     Returns (P, C, 65) complex."""
-    idx = jnp.mod(state.s_read + jnp.arange(num_partitions), geo.num_blocks)
-    return state.ffts[idx]
+    idx = jnp.mod(
+        s_read_index(geo, view.state, view.n) + jnp.arange(num_partitions),
+        geo.num_blocks,
+    )
+    return _take_rows(view.state.ffts, idx, geo.num_blocks)
 
 
-def spectrum_window(geo: BufferGeometry, state, num_partitions: int):
+def spectrum_window(geo: BufferGeometry, view: RenderView,
+                    num_partitions: int):
     """(P, C, 65) spectra starting at the read position."""
-    idx = jnp.mod(state.s_read + jnp.arange(num_partitions), geo.num_blocks)
-    return state.spectra[idx]
+    idx = jnp.mod(
+        s_read_index(geo, view.state, view.n) + jnp.arange(num_partitions),
+        geo.num_blocks,
+    )
+    return _take_rows(view.state.spectra, idx, geo.num_blocks)
 
 
-def spectrum_at(geo: BufferGeometry, state, offset):
+def spectrum_at(geo: BufferGeometry, view: RenderView, offset):
     """RenderBuffer::Spectrum(offset): (C, 65)."""
-    return state.spectra[jnp.mod(state.s_read + offset, geo.num_blocks)]
+    idx = jnp.mod(
+        s_read_index(geo, view.state, view.n) + offset, geo.num_blocks
+    )
+    return _take_rows(view.state.spectra, idx[None], geo.num_blocks)[0]
 
 
-def block_at(geo: BufferGeometry, state, offset: int = 0):
+def block_at(geo: BufferGeometry, view: RenderView, offset: int = 0):
     """RenderBuffer::GetBlock(offset): (bands, 64, C)."""
-    return state.blocks[jnp.mod(state.b_read + offset, geo.num_blocks)]
+    idx = jnp.mod(
+        b_read_index(geo, view.state, view.n) + offset, geo.num_blocks
+    )
+    return _take_rows(view.state.blocks, idx[None], geo.num_blocks)[0]
 
 
-def spectral_sum(geo: BufferGeometry, state, num_spectra: int):
+def spectral_sum(geo: BufferGeometry, view: RenderView, num_spectra: int):
     """RenderBuffer::SpectralSum (render_buffer.cc:29-41): (65,)."""
-    return jnp.sum(spectrum_window(geo, state, num_spectra), axis=(0, 1))
+    return jnp.sum(spectrum_window(geo, view, num_spectra), axis=(0, 1))
 
 
 def headroom(geo: BufferGeometry, state):
     """RenderBuffer::Headroom (render_buffer.h:80-92)."""
+    # (s_read - s_write) mod L, mapping a zero distance to L as the
+    # reference's branch form does.
     return jnp.where(
-        state.s_write < state.s_read,
-        state.s_read - state.s_write,
-        geo.num_blocks - state.s_write + state.s_read,
+        state.b_delay == 0,
+        jnp.asarray(geo.num_blocks, jnp.int32),
+        state.b_delay,
     )
 
 
 def compute_delay(geo: BufferGeometry, state):
     """RenderDelayBufferImpl::ComputeDelay (render_delay_buffer.cc:338-346)."""
-    latency = buffer_latency(geo, state)
-    internal = jnp.where(
-        state.s_read >= state.s_write,
-        state.s_read - state.s_write,
-        geo.num_blocks + state.s_read - state.s_write,
-    )
-    return internal - latency
+    return state.b_delay - buffer_latency(geo, state)

@@ -53,7 +53,7 @@ def analyzer_update(
     config: EchoCanceller3Config,
     state: RenderSignalAnalyzerState,
     geo: rb.BufferGeometry,
-    buf: rb.RenderDelayBufferState,
+    buf: rb.RenderView,
     delay_partitions,
     delay_valid,
 ):
@@ -241,14 +241,23 @@ def constrain_filter(state: FilterState, impulse_response=None):
     """AdaptiveFirFilter::Constrain(AndUpdateImpulseResponse): one cyclic
     partition per block is forced causal in the time domain."""
     pc = state.partition_to_constrain
-    H_pc = state.H[:, pc]  # (C_cap, C_ren, 65)
+    max_p = state.H.shape[1]
+    # Partition select/update via a one-hot over the (small) partition axis:
+    # a dynamic-index gather/scatter here serializes into a per-stream loop
+    # under vmap on TPU.
+    pc_oh = jnp.arange(max_p) == pc  # (P,)
+    H_pc = jnp.sum(
+        jnp.where(pc_oh[None, :, None, None], state.H, 0), axis=1
+    )  # (C_cap, C_ren, 65)
     h = afft.ifft_unnormalized(H_pc)  # (C_cap, C_ren, 128)
     h_head = h[..., :BLOCK_SIZE] * (1.0 / BLOCK_SIZE)
     h_constrained = jnp.concatenate(
         [h_head, jnp.zeros_like(h_head)], axis=-1
     )
     new_H_pc = afft.fft(h_constrained)
-    H = state.H.at[:, pc].set(new_H_pc)
+    H = jnp.where(
+        pc_oh[None, :, None, None], new_H_pc[:, None], state.H
+    )
 
     new_ir = None
     if impulse_response is not None:
@@ -259,11 +268,13 @@ def constrain_filter(state: FilterState, impulse_response=None):
         for rc in range(1, num_rc):
             cand = h_head[:, rc, :]
             seg = jnp.where(jnp.abs(seg) < jnp.abs(cand), cand, seg)
-        new_ir = jax.lax.dynamic_update_slice(
-            impulse_response,
-            seg,
-            (0, pc * BLOCK_SIZE),
+        ir_blocks = impulse_response.reshape(
+            impulse_response.shape[0], max_p, BLOCK_SIZE
         )
+        ir_blocks = jnp.where(
+            pc_oh[None, :, None], seg[:, None, :], ir_blocks
+        )
+        new_ir = ir_blocks.reshape(impulse_response.shape)
 
     next_pc = jnp.where(
         pc < state.current_size - 1, pc + 1, 0

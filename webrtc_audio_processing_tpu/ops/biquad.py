@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -58,6 +59,29 @@ def process(coeffs_b, coeffs_a, state: BiquadCascadeState, x):
       (new_state, y) with y of shape (N, ...).
     """
     num_sections = coeffs_b.shape[0]
+
+    # Static coefficients + per-stream 1-D frames route to the Pallas
+    # cascade kernel (ops/pallas_biquad.py): the per-sample recurrence
+    # unrolls in VMEM with the stream batch on the vector lanes instead of
+    # paying XLA scan overhead per sample. Identical operation order.
+    if x.ndim == 1 and not (
+        isinstance(coeffs_b, jax.core.Tracer)
+        or isinstance(coeffs_a, jax.core.Tracer)
+    ):
+        from webrtc_audio_processing_tpu.ops import pallas_biquad
+
+        cascade = pallas_biquad.make_cascade(
+            np.asarray(coeffs_b), np.asarray(coeffs_a)
+        )
+        st_flat = jnp.concatenate(
+            [state.x.astype(x.dtype), state.y.astype(x.dtype)], axis=1
+        )  # (K, 4) rows [x1, x2, y1, y2]
+        st_new, y = cascade(st_flat, x)
+        return (
+            BiquadCascadeState(x=st_new[:, :2], y=st_new[:, 2:]),
+            y,
+        )
+
     b = [[jnp.asarray(coeffs_b[k, i], x.dtype) for i in range(3)]
          for k in range(num_sections)]
     a = [[jnp.asarray(coeffs_a[k, i], x.dtype) for i in range(2)]

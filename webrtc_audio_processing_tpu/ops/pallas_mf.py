@@ -1,0 +1,312 @@
+"""Pallas TPU kernel for the AEC3 matched-filter NLMS bank.
+
+Reference semantics: MatchedFilter::Update (matched_filter.cc:693-812) — for
+each of N staggered filters, a per-sample NLMS over the sub_block_size (16)
+downsampled capture samples against sliding 512-tap windows of the low-rate
+render ring.
+
+Why a kernel: expressed in XLA, the sliding windows either materialize as a
+(B, N, 16, 512) unfold (16x redundant, ~170 MB per block at B=1024 streams —
+bandwidth-catastrophic) or serialize as 16 scan steps over (B, N, 512)
+arrays. Here the ring segments and filters are VMEM-resident per stream tile
+and the 16-step recurrence runs entirely on-chip: HBM traffic is one read of
+the segments + one read/write of the filters per block.
+
+The kernel reproduces the reference's exact per-sample update order; the
+accumulated-error (pre-echo) statistics are reconstructed outside from the
+returned per-sample NLMS steps (`alphas`), which determine the intermediate
+filters exactly (h_i = h_0 + sum_{j<i} alpha_j x_j).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _mf_kernel(lr_ref, seg_ref, h_ref, y_ref, smooth_ref,
+               h_out, alpha_out, err_out, upd_out, segs_out, seg_scratch,
+               xw_scratch,
+               *, n_filters, shift, ds_size, threshold, streams, sub, taps,
+               w_per):
+    """One stream-tile of the NLMS bank.
+
+    lr_ref: (S, 1) int32 — per-stream low-rate read index.
+    seg_ref: (S, ds_size + seg_len) f32 — wrap-extended ring.
+    h_ref/h_out: (S, N, taps); y_ref: (S, sub); smooth_ref: (S, 1).
+    alpha_out: (S, N, SUB); err_out/upd_out: (S, N).
+    seg_scratch: (S, N, seg_pad) f32.
+    """
+    SUB, TAPS = sub, taps
+    seg_len = SUB - 1 + TAPS
+    W = w_per
+
+    # Gather the full filter-bank span of the ring into scratch, one wide
+    # aligned load + one lane-roll per stream. Mosaic only allows
+    # 128-aligned dynamic lane offsets; the alignment residue is shared by
+    # all filters because `shift` is a multiple of 128 (384 at ds=4,
+    # 192 at ds=8 is not — handled by the per-filter fallback below).
+    if shift % 128 == 0:
+        for s in range(streams):
+            start = lr_ref[s, 0]
+            a0 = pl.multiple_of((start // 128) * 128, 128)
+            off = start - a0
+            wide = seg_ref[s : s + 1, pl.ds(a0, W)]  # (1, W)
+            seg_scratch[s, 0:W] = pltpu.roll(wide, W - off, 1)[0]
+        segs = [
+            seg_scratch[:, n * shift : n * shift + seg_len]
+            for n in range(n_filters)
+        ]
+    else:
+        for s in range(streams):
+            start = lr_ref[s, 0]
+            for n in range(n_filters):
+                st = start + n * shift
+                a0 = pl.multiple_of((st // 128) * 128, 128)
+                off = st - a0
+                wide = seg_ref[s : s + 1, pl.ds(a0, W)]
+                seg_scratch[s, pl.ds(n * W, W)] = pltpu.roll(
+                    wide, W - off, 1
+                )[0]
+        segs = [
+            seg_scratch[:, n * W : n * W + seg_len]
+            for n in range(n_filters)
+        ]
+    segs = jnp.stack(segs, axis=1)  # (S, N, seg_len)
+    y = y_ref[:]  # (S, SUB)
+    h = h_ref[:]  # (S, N, TAPS)
+    smoothing = smooth_ref[:]  # (S, 1)
+
+    # Materialize the SUB shifted windows once: each lane-offset slice of
+    # `segs` is a vector-register funnel shift over the whole tile, and the
+    # recurrence below touches x_i three times per sample — reading from
+    # the aligned scratch instead re-does none of those shifts.
+    for i in range(SUB):
+        xw_scratch[:, i] = segs[:, :, SUB - 1 - i : SUB - 1 - i + TAPS]
+    xw = xw_scratch[:]  # (S, SUB, N, TAPS)
+    x2_all = jnp.sum(xw * xw, axis=-1)  # (S, SUB, N)
+
+    err = jnp.zeros((streams, n_filters), jnp.float32)
+    upd = jnp.zeros((streams, n_filters), jnp.float32)
+    alphas = []
+    for i in range(SUB):
+        x_i = xw[:, i]  # (S, N, TAPS)
+        x2 = x2_all[:, i]  # (S, N)
+        s_i = jnp.sum(h * x_i, axis=-1)  # (S, N)
+        e_i = y[:, i : i + 1] - s_i  # (S, N)
+        sat = (y[:, i : i + 1] >= 32000.0) | (y[:, i : i + 1] <= -32000.0)
+        gate = (x2 > threshold) & ~sat
+        a_i = jnp.where(
+            gate, smoothing * e_i / jnp.maximum(x2, 1e-30), 0.0
+        )
+        h = h + a_i[:, :, None] * x_i
+        err = err + e_i * e_i
+        upd = jnp.maximum(upd, gate.astype(jnp.float32))
+        alphas.append(a_i)
+
+    h_out[:] = h
+    alpha_out[:] = jnp.stack(alphas, axis=-1)  # (S, N, SUB)
+    err_out[:] = err
+    upd_out[:] = upd
+    segs_out[:] = segs  # (S, N, seg_len) — consumed by the pre-echo path
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_filters", "shift", "ds_size", "threshold", "sub",
+                     "taps", "interpret"),
+)
+def matched_filter_nlms(
+    lowrate,  # (B, DS) f32
+    lr_read,  # (B,) int32
+    h0,  # (B, N, TAPS) f32
+    y,  # (B, SUB) f32
+    smoothing,  # (B,) f32
+    *,
+    n_filters: int,
+    shift: int,
+    ds_size: int,
+    threshold: float,
+    sub: int = 16,
+    taps: int = 512,
+    interpret: bool = False,
+):
+    """Batched NLMS bank update. Returns (h, alphas, error_sums, updated)."""
+    B = lowrate.shape[0]
+    SUB, TAPS = sub, taps
+    seg_len = SUB - 1 + TAPS
+    # Widened load windows: +128 lanes so any alignment residue (0..127)
+    # still covers the payload.
+    if shift % 128 == 0:
+        # One load spans the whole staggered filter bank.
+        span = (n_filters - 1) * shift + seg_len
+        w_per = ((span + 127) // 128) * 128 + 128
+        scratch_w = w_per
+    else:
+        w_per = ((seg_len + 127) // 128) * 128 + 128
+        scratch_w = n_filters * w_per
+    # Wrap extension so every aligned wide load stays in bounds.
+    ext = (n_filters - 1) * shift + w_per
+    parts = [lowrate] * (1 + ext // ds_size) + [lowrate[:, : ext % ds_size]]
+    ring2 = jnp.concatenate(parts, axis=1)
+    S = 32
+    assert B % S == 0, B
+
+    kernel = functools.partial(
+        _mf_kernel, n_filters=n_filters, shift=shift, ds_size=ds_size,
+        threshold=threshold, streams=S, sub=SUB, taps=TAPS, w_per=w_per,
+    )
+    grid = (B // S,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, ring2.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_filters, TAPS), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, SUB), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, n_filters, TAPS), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_filters, SUB), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_filters), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_filters), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n_filters, seg_len), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_filters, TAPS), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_filters, SUB), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_filters), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_filters), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_filters, seg_len), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, scratch_w), jnp.float32),
+            pltpu.VMEM((S, SUB, n_filters, TAPS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        lr_read.astype(jnp.int32)[:, None],
+        ring2,
+        h0,
+        y,
+        smoothing[:, None],
+    )
+    h, alphas, err, upd, segs = out
+    return h, alphas, err, upd > 0.5, segs
+
+
+# ------------------------------------------------------------------ vmap API
+#
+# The AEC3 modules are written per-stream with `vmap` supplying the stream
+# batch. `custom_vmap` routes the batched case into the Pallas kernel (one
+# grid step per 8-stream tile) and leaves the single-stream case on a plain
+# XLA scan with identical per-sample semantics.
+
+
+def _nlms_scan(lowrate, lr_read, h0, y, smoothing, *, n_filters, shift,
+               ds_size, threshold, sub=16, taps=512):
+    """Reference-order per-sample NLMS for one stream (no batch)."""
+    SUB, TAPS = sub, taps
+    seg_len = SUB - 1 + TAPS
+    ring2 = jnp.concatenate([lowrate, lowrate[: seg_len]])
+    starts = jnp.mod(
+        lr_read + jnp.arange(n_filters, dtype=jnp.int32) * shift, ds_size
+    )
+    segs = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(ring2, (s0,), (seg_len,))
+    )(starts)  # (N, seg_len)
+    xw = jnp.stack(
+        [segs[:, SUB - 1 - i : SUB - 1 - i + TAPS] for i in range(SUB)],
+        axis=1,
+    )  # (N, SUB, TAPS)
+    x2 = jnp.sum(xw * xw, axis=-1)  # (N, SUB)
+    sat = (y >= 32000.0) | (y <= -32000.0)  # (SUB,)
+    gate = (x2 > threshold) & ~sat[None, :]
+
+    def step(carry, i):
+        h, err = carry
+        x_i = xw[:, i, :]
+        s_i = jnp.sum(h * x_i, axis=-1)
+        e_i = y[i] - s_i
+        a_i = jnp.where(
+            gate[:, i], smoothing * e_i / jnp.maximum(x2[:, i], 1e-30), 0.0
+        )
+        return (h + a_i[:, None] * x_i, err + e_i * e_i), a_i
+
+    (h, err), alphas = jax.lax.scan(
+        step, (h0, jnp.zeros((n_filters,))), jnp.arange(SUB)
+    )
+    return h, jnp.moveaxis(alphas, 0, -1), err, jnp.any(gate, axis=-1), segs
+
+
+def make_nlms(n_filters: int, shift: int, ds_size: int, threshold: float,
+              sub: int = 16, taps: int = 512, interpret: bool = False):
+    """Returns nlms(lowrate, lr_read, h0, y, smoothing) ->
+    (h, alphas, error_sums, updated), vmap-aware."""
+
+    @jax.custom_batching.custom_vmap
+    def nlms(lowrate, lr_read, h0, y, smoothing):
+        return _nlms_scan(
+            lowrate, lr_read, h0, y, smoothing, n_filters=n_filters,
+            shift=shift, ds_size=ds_size, threshold=threshold, sub=sub,
+            taps=taps,
+        )
+
+    @nlms.def_vmap
+    def nlms_vmap(axis_size, in_batched, lowrate, lr_read, h0, y, smoothing):
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x)
+            )
+
+        lowrate, lr_read, h0, y, smoothing = (
+            bc(a, b)
+            for a, b in zip(
+                (lowrate, lr_read, h0, y, smoothing), in_batched
+            )
+        )
+        if interpret:
+            # CPU path: batch the reference-order scan instead of paying
+            # the Pallas interpreter per stream.
+            out = jax.vmap(
+                lambda lo, lr, h, yy, sm: _nlms_scan(
+                    lo, lr, h, yy, sm, n_filters=n_filters, shift=shift,
+                    ds_size=ds_size, threshold=threshold, sub=sub, taps=taps,
+                )
+            )(lowrate, lr_read, h0, y, smoothing)
+            return out, tuple(True for _ in out)
+        B = axis_size
+        S = 8
+        pad = (-B) % S
+        if pad:
+            zf = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            )
+            lowrate, lr_read, h0, y, smoothing = map(
+                zf, (lowrate, lr_read, h0, y, smoothing)
+            )
+        out = matched_filter_nlms(
+            lowrate, lr_read.astype(jnp.int32), h0, y, smoothing,
+            n_filters=n_filters, shift=shift, ds_size=ds_size,
+            threshold=threshold, sub=sub, taps=taps, interpret=interpret,
+        )
+        if pad:
+            out = tuple(a[:B] for a in out)
+        return out, tuple(True for _ in out)
+
+    return nlms
