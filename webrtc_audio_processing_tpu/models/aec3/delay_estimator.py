@@ -5,11 +5,13 @@ aec3/matched_filter_lag_aggregator.cc (histogram aggregation),
 aec3/clockdrift_detector.cc, aec3/echo_path_delay_estimator.cc,
 aec3/render_delay_controller.cc.
 
-TPU re-design: the five staggered matched filters adapt TOGETHER as one
-(5, L) array inside a 16-step ``lax.scan`` over the sub-block samples — the
-per-sample NLMS ordering of the reference is preserved exactly, while the
-per-sample work (dot + axpy over 5x512 taps) is a dense VPU/MXU op. All
-window reads precompute as static gathers from the low-rate ring buffer.
+TPU re-design: the matched-filter NLMS bank runs in a Pallas kernel
+(ops/pallas_mf.py) with the sliding render windows VMEM-resident and the
+reference's exact per-sample update order; off-TPU a lax.scan computes the
+same recurrence. The pre-echo accumulated error is reconstructed from the
+returned per-sample step sizes for the winner filter only, and the lag
+aggregation histograms update via one-hot arithmetic (dynamic-index
+scatters would serialize per stream under vmap on TPU).
 """
 
 from __future__ import annotations

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from webrtc_audio_processing_tpu.ops import mxu_fft
+
 FFT_LENGTH = 128
 BLOCK_SIZE = 64
 NUM_BINS = 65
@@ -29,13 +31,15 @@ SQRT_HANNING128 = jnp.asarray(
 
 
 def fft(x):
-    """Unnormalized forward FFT of (..., 128) -> (..., 65) complex."""
-    return jnp.fft.rfft(x, axis=-1)
+    """Unnormalized forward FFT of (..., 128) -> (..., 65) complex.
+
+    MXU matmul-DFT on TPU, jnp.fft elsewhere (ops/mxu_fft.py)."""
+    return mxu_fft.rfft(x, FFT_LENGTH)
 
 
 def ifft_unnormalized(X):
     """Equivalent of Aec3Fft::Ifft: returns 64 * exact inverse (..., 128)."""
-    return jnp.fft.irfft(X, n=FFT_LENGTH, axis=-1) * float(BLOCK_SIZE)
+    return mxu_fft.irfft(X, FFT_LENGTH) * float(BLOCK_SIZE)
 
 
 def zero_padded_fft(x, window: str = "rectangular"):

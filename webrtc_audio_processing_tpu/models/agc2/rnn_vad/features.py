@@ -211,10 +211,14 @@ def extract_features(state: FeatureState, frame_24k):
     )
 
     # Reference frame = most recent 20 ms; lagged frame per pitch period.
+    # The per-stream window read goes through the Pallas gather kernel
+    # (ops/pallas_window.py) — a vmapped dynamic-slice would serialize.
+    from webrtc_audio_processing_tpu.ops import pallas_window
+
     ref = pitch_buf[BUF_SIZE - FRAME_20MS :]
     lag_start = pitch_mod.MAX_PITCH_24K - period_48k // 2
-    lagged = jax.lax.dynamic_slice(
-        pitch_buf, (jnp.clip(lag_start, 0, BUF_SIZE - FRAME_20MS),), (FRAME_20MS,)
+    lagged = pallas_window.make_take_window(FRAME_20MS)(
+        pitch_buf, jnp.clip(lag_start, 0, BUF_SIZE - FRAME_20MS)
     )
 
     ref_spec = mixed_fft.rfft480(ref * WINDOW)[: FRAME_20MS // 2]

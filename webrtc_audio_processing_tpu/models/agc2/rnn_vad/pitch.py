@@ -6,13 +6,16 @@ refinement at 24 kHz around the two best candidates, then sub-harmonic
 extension with pitch tracking.
 
 TPU re-design:
-- The 12 kHz auto-correlation (reference: pffft-based overlap convolution)
-  is a dense (147, 240) x (240,) mat-vec — direct MXU work, no FFT needed.
+- All auto-correlations (reference: pffft-based overlap convolution) are
+  valid-mode correlations of the pitch buffer against the reference frame —
+  one `jnp.correlate` per rate (XLA convolution, MXU) instead of
+  materializing (lags, frame) window matrices; the data-dependent lag reads
+  of the refinement/sub-harmonic stages become one-hot row-reads of the
+  dense correlation (a dynamic gather would serialize per stream on TPU).
 - The sliding-window energies with per-step floor clamping
   (`yy = max(floor, yy - old^2 + new^2)`) vectorize exactly via the identity
   y[n] = max(S[n], floor + S[n] - min_{k<=n} S[k]) (prefix sums + prefix min).
-- The data-dependent refinement/sub-harmonic lags become masked gathers over
-  a statically-unrolled divisor loop (divisors 2..15).
+- The sub-harmonic search is a statically-unrolled divisor loop (2..15).
 """
 
 from __future__ import annotations
@@ -58,16 +61,18 @@ def _clamped_sliding_energy(first_energy, old_sq, new_sq, floor):
     return jnp.concatenate([s[:1], clamped])
 
 
-def _autocorr_windows(pitch_buffer, num_lags, frame_size):
-    """(num_lags, frame_size) windows pitch_buffer[lag:lag+frame_size]."""
-    idx = jnp.arange(num_lags)[:, None] + jnp.arange(frame_size)[None, :]
-    return pitch_buffer[idx]
+def _correlate_lags(pitch_buffer, x_ref, num_lags):
+    """ac[l] = dot(pitch_buffer[l : l + len(x_ref)], x_ref) for l < num_lags,
+    as one valid-mode correlation (ComputeAutoCorrelation,
+    pitch_search_internal.cc:29-38, over all lags at once)."""
+    return jnp.correlate(pitch_buffer, x_ref, mode="valid")[:num_lags]
 
 
-def _autocorr_at(pitch_buffer, x_ref, inverted_lag):
-    """ComputeAutoCorrelation (pitch_search_internal.cc:29-38) at one lag."""
-    y = jax.lax.dynamic_slice(pitch_buffer, (inverted_lag,), (FRAME_20MS_24K,))
-    return jnp.dot(x_ref, y)
+def _at(vec, idx):
+    """vec[idx] as a one-hot contraction (single-element dynamic gathers
+    serialize per stream under vmap on TPU)."""
+    oh = (jnp.arange(vec.shape[0]) == idx).astype(vec.dtype)
+    return jnp.dot(oh, vec)
 
 
 def _pseudo_interp_offset(prev, curr, nxt):
@@ -118,15 +123,14 @@ def compute_pitch_period_48k(pitch_buffer, y_energy, best, second_best):
     """
     radius = 2
     x_ref = pitch_buffer[MAX_PITCH_24K:]
+    ac = _correlate_lags(pitch_buffer, x_ref, INITIAL_NUM_LAGS_24K)
     lo1 = jnp.clip(jnp.minimum(best, second_best) - radius, 0, INITIAL_NUM_LAGS_24K - 1)
     hi1 = jnp.clip(jnp.minimum(best, second_best) + radius, 0, INITIAL_NUM_LAGS_24K - 1)
     lo2 = jnp.clip(jnp.maximum(best, second_best) - radius, 0, INITIAL_NUM_LAGS_24K - 1)
     hi2 = jnp.clip(jnp.maximum(best, second_best) + radius, 0, INITIAL_NUM_LAGS_24K - 1)
 
-    # Dense auto-correlation over all initial lags (one mat-vec), masked to
-    # the lags the reference actually computes.
-    windows = _autocorr_windows(pitch_buffer, INITIAL_NUM_LAGS_24K, FRAME_20MS_24K)
-    ac = windows @ x_ref  # (294,)
+    # Dense auto-correlation over all initial lags (one correlation),
+    # masked to the lags the reference actually computes.
     lags = jnp.arange(INITIAL_NUM_LAGS_24K)
     in_ranges = ((lags >= lo1) & (lags <= hi1)) | ((lags >= lo2) & (lags <= hi2))
 
@@ -139,11 +143,12 @@ def compute_pitch_period_48k(pitch_buffer, y_energy, best, second_best):
 
     # Pseudo-interpolation; uncomputed neighbor lags read as 0
     # (the reference zeroes the range boundaries, :160-167).
-    nb_prev = jnp.where(in_ranges[jnp.clip(best_il + 1, 0, INITIAL_NUM_LAGS_24K - 1)],
-                        ac[jnp.clip(best_il + 1, 0, INITIAL_NUM_LAGS_24K - 1)], 0.0)
-    nb_next = jnp.where(in_ranges[jnp.clip(best_il - 1, 0, INITIAL_NUM_LAGS_24K - 1)],
-                        ac[jnp.clip(best_il - 1, 0, INITIAL_NUM_LAGS_24K - 1)], 0.0)
-    offset = _pseudo_interp_offset(nb_prev, ac[best_il], nb_next)
+    ip = jnp.clip(best_il + 1, 0, INITIAL_NUM_LAGS_24K - 1)
+    im = jnp.clip(best_il - 1, 0, INITIAL_NUM_LAGS_24K - 1)
+    in_f = in_ranges.astype(ac.dtype)
+    nb_prev = jnp.where(_at(in_f, ip) > 0.5, _at(ac, ip), 0.0)
+    nb_next = jnp.where(_at(in_f, im) > 0.5, _at(ac, im), 0.0)
+    offset = _pseudo_interp_offset(nb_prev, _at(ac, best_il), nb_next)
     at_boundary = (best_il == 0) | (best_il >= INITIAL_NUM_LAGS_24K - 1)
     return jnp.where(at_boundary, 2 * best_il, 2 * best_il + offset)
 
@@ -163,13 +168,16 @@ def compute_extended_pitch_period_48k(
     """
     x_ref = pitch_buffer[MAX_PITCH_24K:]
     x_energy = y_energy[MAX_PITCH_24K]
+    # Dense correlation over every possible inverted lag; the data-dependent
+    # reads below become one-hot row reads of it.
+    ac_full = _correlate_lags(pitch_buffer, x_ref, REFINE_NUM_LAGS_24K)
 
     def strength_of(xy, yy):
         return xy / jnp.sqrt(1.0 + x_energy * yy)
 
     init_period = jnp.minimum(initial_pitch_period_48k // 2, MAX_PITCH_24K - 1)
-    init_xy = _autocorr_at(pitch_buffer, x_ref, MAX_PITCH_24K - init_period)
-    init_yy = y_energy[MAX_PITCH_24K - init_period]
+    init_xy = _at(ac_full, MAX_PITCH_24K - init_period)
+    init_yy = _at(y_energy, MAX_PITCH_24K - init_period)
     init_strength = strength_of(init_xy, init_yy)
 
     last_period = last_period_48k // 2
@@ -190,11 +198,12 @@ def compute_extended_pitch_period_48k(
             dual = jnp.where(dual > MAX_PITCH_24K, init_period, dual)
         alt_period_c = jnp.clip(alt_period, 0, MAX_PITCH_24K)
         dual_c = jnp.clip(dual, 0, MAX_PITCH_24K)
-        xy1 = _autocorr_at(pitch_buffer, x_ref, MAX_PITCH_24K - alt_period_c)
-        xy2 = _autocorr_at(pitch_buffer, x_ref, MAX_PITCH_24K - dual_c)
+        xy1 = _at(ac_full, MAX_PITCH_24K - alt_period_c)
+        xy2 = _at(ac_full, MAX_PITCH_24K - dual_c)
         xy = 0.5 * (xy1 + xy2)
         yy = 0.5 * (
-            y_energy[MAX_PITCH_24K - alt_period_c] + y_energy[MAX_PITCH_24K - dual_c]
+            _at(y_energy, MAX_PITCH_24K - alt_period_c)
+            + _at(y_energy, MAX_PITCH_24K - dual_c)
         )
         alt_strength = strength_of(xy, yy)
 
@@ -233,9 +242,9 @@ def compute_extended_pitch_period_48k(
     il = MAX_PITCH_24K - best_period
     can_interp = (best_period > 0) & (best_period < MAX_PITCH_24K)
     ilc = jnp.clip(il, 1, MAX_PITCH_24K - 1)
-    prev = _autocorr_at(pitch_buffer, x_ref, ilc + 1)
-    curr = _autocorr_at(pitch_buffer, x_ref, ilc)
-    nxt = _autocorr_at(pitch_buffer, x_ref, ilc - 1)
+    prev = _at(ac_full, ilc + 1)
+    curr = _at(ac_full, ilc)
+    nxt = _at(ac_full, ilc - 1)
     offset = jnp.where(can_interp, _pseudo_interp_offset(prev, curr, nxt), 0)
     final_period = jnp.maximum(MIN_PITCH_48K, 2 * best_period + offset)
     return final_period, final_strength
@@ -247,8 +256,9 @@ def estimate_pitch(pitch_buffer, last_period_48k, last_strength):
     pitch_buffer: (864,) LP residual. Returns (period_48k, strength).
     """
     pitch12 = pitch_buffer[::2]  # Decimate2x (no anti-aliasing, :283-290)
-    windows12 = _autocorr_windows(pitch12, NUM_LAGS_12K, FRAME_20MS_12K)
-    auto_corr12 = windows12 @ pitch12[BUF_SIZE_12K - FRAME_20MS_12K :]
+    auto_corr12 = _correlate_lags(
+        pitch12, pitch12[BUF_SIZE_12K - FRAME_20MS_12K :], NUM_LAGS_12K
+    )
     best12, second12 = compute_pitch_period_12k(pitch12, auto_corr12)
 
     y_energy = compute_sliding_frame_energies_24k(pitch_buffer)

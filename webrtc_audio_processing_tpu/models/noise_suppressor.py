@@ -27,6 +27,8 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+
+from webrtc_audio_processing_tpu.ops import mxu_fft
 import numpy as np
 from flax import struct
 
@@ -597,7 +599,7 @@ def analyze(params: SuppressionParams, state: NsState, band0) -> NsState:
         extended = jnp.concatenate([state.analyze_analysis_memory, x], axis=1)
         new_memory = extended[:, -OVERLAP:]
         windowed = extended * WINDOW
-        spec = jnp.fft.rfft(windowed, axis=-1)
+        spec = mxu_fft.rfft(windowed, FFT_SIZE)
         signal_spectrum = _magnitude_spectrum(spec).astype(x.dtype)
         signal_energy = (
             jnp.sum(spec.real**2 + spec.imag**2, axis=-1).astype(x.dtype)
@@ -733,7 +735,7 @@ def process(
     new_analysis_memory = extended[:, -OVERLAP:]
     windowed = extended * WINDOW
     e_before = jnp.sum(windowed**2, axis=-1)
-    spec = jnp.fft.rfft(windowed, axis=-1)
+    spec = mxu_fft.rfft(windowed, FFT_SIZE)
     signal_spectrum = _magnitude_spectrum(spec).astype(x.dtype)
 
     wiener = _wiener_update(params, state, n, signal_spectrum)
@@ -757,7 +759,7 @@ def process(
     filt = jnp.min(state.wiener_filter, axis=0)  # (129,)
 
     filtered = spec * filt
-    ext = jnp.fft.irfft(filtered, n=FFT_SIZE, axis=-1).astype(x.dtype)
+    ext = mxu_fft.irfft(filtered, FFT_SIZE).astype(x.dtype)
     e_after = jnp.sum(ext**2, axis=-1)
     ext = ext * WINDOW
 

@@ -1,4 +1,4 @@
-"""Cascaded direct-form-1 biquad filtering (TPU associative-scan evaluation).
+"""Cascaded direct-form-1 biquad filtering.
 
 Reference: modules/audio_processing/utility/cascaded_biquad_filter.{h,cc}
 (per-sample loop at cascaded_biquad_filter.cc:58-84) and the high-pass filter
@@ -7,12 +7,12 @@ coefficient tables in modules/audio_processing/high_pass_filter.cc:25-56.
 Design: the HPF/post-filter sections have poles at radius up to ~0.998, so a
 log-depth associative-scan evaluation amplifies float32 reordering error by
 ~1/(1-|p|) (measured ~1e-3 relative per frame) — too much for the ≤1e-3 RMS
-conformance budget. The cascade is therefore evaluated with a ``lax.scan``
-over samples in the reference's exact accumulation order; throughput on TPU
-comes from the vmapped stream/channel batch axes that ride along each scan
-step, not from parallelizing the 160-sample recurrence. Per-channel state is
-the (x[-1], x[-2], y[-1], y[-2]) quadruple per section, exactly the
-reference's ``BiQuad::{x, y}`` members.
+conformance budget. The cascade keeps the reference's exact per-sample
+accumulation order: on TPU a Pallas kernel (ops/pallas_biquad.py) unrolls
+the recurrence in VMEM with the stream batch on the vector lanes; elsewhere
+a ``lax.scan`` evaluates it. Per-channel state is the (x[-1], x[-2], y[-1],
+y[-2]) quadruple per section, exactly the reference's ``BiQuad::{x, y}``
+members.
 """
 
 from __future__ import annotations
@@ -64,18 +64,19 @@ def process(coeffs_b, coeffs_a, state: BiquadCascadeState, x):
     # cascade kernel (ops/pallas_biquad.py): the per-sample recurrence
     # unrolls in VMEM with the stream batch on the vector lanes instead of
     # paying XLA scan overhead per sample. Identical operation order.
-    if x.ndim == 1 and not (
+    if x.ndim in (1, 2) and not (
         isinstance(coeffs_b, jax.core.Tracer)
         or isinstance(coeffs_a, jax.core.Tracer)
     ):
         from webrtc_audio_processing_tpu.ops import pallas_biquad
 
         cascade = pallas_biquad.make_cascade(
-            np.asarray(coeffs_b), np.asarray(coeffs_a)
+            np.asarray(coeffs_b), np.asarray(coeffs_a),
+            channels=(x.shape[1] if x.ndim == 2 else 0),
         )
         st_flat = jnp.concatenate(
             [state.x.astype(x.dtype), state.y.astype(x.dtype)], axis=1
-        )  # (K, 4) rows [x1, x2, y1, y2]
+        )  # (K, 4[, C]) rows [x1, x2, y1, y2]
         st_new, y = cascade(st_flat, x)
         return (
             BiquadCascadeState(x=st_new[:, :2], y=st_new[:, 2:]),

@@ -31,13 +31,16 @@ __all__ = ["rfft_matmul", "irfft_matmul", "rfft", "irfft", "default_backend"]
 
 @functools.lru_cache(maxsize=8)
 def _dft_matrices(n: int):
-    """(C, S) with shapes (n, n//2+1): cos/-sin DFT basis, f32."""
+    """(C, S) with shapes (n, n//2+1): cos/-sin DFT basis, f32.
+
+    Cached as host arrays — caching device arrays would leak tracers when
+    first touched inside a jit trace."""
     k = np.arange(n)[:, None]
     f = np.arange(n // 2 + 1)[None, :]
     ang = 2.0 * np.pi * k * f / n
     c = np.cos(ang).astype(np.float32)
     s = (-np.sin(ang)).astype(np.float32)
-    return jnp.asarray(c), jnp.asarray(s)
+    return c, s
 
 
 @functools.lru_cache(maxsize=8)
@@ -55,7 +58,7 @@ def _idft_matrices(n: int):
     w[-1] = 1.0
     c = (w * np.cos(ang) / n).astype(np.float32)
     s = (-w * np.sin(ang) / n).astype(np.float32)
-    return jnp.asarray(c), jnp.asarray(s)
+    return c, s
 
 
 def rfft_matmul(x, n: int | None = None):

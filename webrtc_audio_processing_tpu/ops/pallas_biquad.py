@@ -88,10 +88,16 @@ def _cascade_batched(x_t, st, *, coeffs, interpret=False):
     return y_t, st_new
 
 
-def make_cascade(coeffs_b: np.ndarray, coeffs_a: np.ndarray):
-    """Returns cascade(state_flat (K,4), x (T,)) -> (new_state, y), vmap-
-    aware: the batched form runs the Pallas kernel on TPU and a lax.scan
-    elsewhere. Coefficients must be static (host) arrays."""
+def make_cascade(coeffs_b: np.ndarray, coeffs_a: np.ndarray,
+                 channels: int = 0):
+    """Returns cascade(state_flat, x) -> (new_state, y), vmap-aware: the
+    batched form runs the Pallas kernel on TPU and a lax.scan elsewhere.
+    Coefficients must be static (host) arrays.
+
+    channels == 0: state (K, 4), x (T,).
+    channels == C: state (K, 4, C), x (T, C) — channels fold into the
+    kernel's lane batch together with the vmapped stream axis.
+    """
     cb = np.asarray(coeffs_b, np.float64)
     ca = np.asarray(coeffs_a, np.float64)
     K = cb.shape[0]
@@ -103,7 +109,7 @@ def make_cascade(coeffs_b: np.ndarray, coeffs_a: np.ndarray):
 
     def scan_impl(st, x):
         def step(carry, xt):
-            rows = carry  # (K, 4)
+            rows = carry  # (K, 4[, C])
             sig = xt
             new_rows = []
             for k, (b0, b1, b2, a1, a2) in enumerate(coeffs):
@@ -116,6 +122,27 @@ def make_cascade(coeffs_b: np.ndarray, coeffs_a: np.ndarray):
 
         st, y = jax.lax.scan(step, st, x)
         return st, y
+
+    def kernel_impl(st, x):
+        """st: (M, K, 4); x: (M, T) with M the folded batch."""
+        M = st.shape[0]
+        pad = (-M) % LANES
+        if pad:
+            st = jnp.concatenate(
+                [st, jnp.zeros((pad,) + st.shape[1:], st.dtype)]
+            )
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+            )
+        x_t = x.T  # (T, M)
+        st_flat = st.reshape(st.shape[0], 4 * K).T  # (4K, M)
+        y_t, st_new = _cascade_batched(x_t, st_flat, coeffs=coeffs)
+        st_out = st_new.T.reshape(st.shape[0], K, 4)
+        y = y_t.T
+        if pad:
+            st_out = st_out[:M]
+            y = y[:M]
+        return st_out, y
 
     @jax.custom_batching.custom_vmap
     def cascade(st, x):
@@ -132,22 +159,16 @@ def make_cascade(coeffs_b: np.ndarray, coeffs_a: np.ndarray):
             out = jax.vmap(scan_impl)(st, x)
             return out, (True, True)
         B = axis_size
-        pad = (-B) % LANES
-        if pad:
-            st = jnp.concatenate(
-                [st, jnp.zeros((pad,) + st.shape[1:], st.dtype)]
-            )
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
-            )
-        x_t = x.T  # (T, B)
-        st_flat = st.reshape(st.shape[0], 4 * K).T  # (4K, B)
-        y_t, st_new = _cascade_batched(x_t, st_flat, coeffs=coeffs)
-        st_out = st_new.T.reshape(st.shape[0], K, 4)
-        y = y_t.T
-        if pad:
-            st_out = st_out[:B]
-            y = y[:B]
+        if channels:
+            C = channels
+            # (B, K, 4, C) -> (B*C, K, 4); (B, T, C) -> (B*C, T).
+            st_m = jnp.moveaxis(st, 3, 1).reshape(B * C, K, 4)
+            x_m = jnp.moveaxis(x, 2, 1).reshape(B * C, x.shape[1])
+            st_o, y_m = kernel_impl(st_m, x_m)
+            st_out = jnp.moveaxis(st_o.reshape(B, C, K, 4), 1, 3)
+            y = jnp.moveaxis(y_m.reshape(B, C, -1), 1, 2)
+        else:
+            st_out, y = kernel_impl(st, x)
         return (st_out, y), (True, True)
 
     return cascade

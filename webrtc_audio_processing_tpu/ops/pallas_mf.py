@@ -152,8 +152,13 @@ def matched_filter_nlms(
     ext = (n_filters - 1) * shift + w_per
     parts = [lowrate] * (1 + ext // ds_size) + [lowrate[:, : ext % ds_size]]
     ring2 = jnp.concatenate(parts, axis=1)
-    S = 32
-    assert B % S == 0, B
+    # Stream tile: 32 gives the best VPU occupancy, but at very large
+    # batches XLA's scoped-vmem accounting for the surrounding program
+    # leaves less headroom — fall back to 16 there.
+    S = 32 if B <= 4096 else 16
+    while B % S:
+        S //= 2
+    assert S >= 1, B
 
     kernel = functools.partial(
         _mf_kernel, n_filters=n_filters, shift=shift, ds_size=ds_size,
