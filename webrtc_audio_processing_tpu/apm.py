@@ -175,10 +175,18 @@ class ApmGeometry:
         )
 
     @property
+    def echo_controller_enabled(self) -> bool:
+        """An AEC3 or injected EchoControl is active (not AECM), the
+        condition for mono capture processing (num_proc_channels,
+        audio_processing_impl.cc:798-806)."""
+        return self.aec3 is not None or self.echo_control is not None
+
+    @property
     def capture_processing_channels(self) -> int:
-        if self.config.pipeline.multi_channel_capture:
-            return self.num_capture_channels
-        return 1
+        if (self.echo_controller_enabled
+                and not self.config.pipeline.multi_channel_capture):
+            return 1
+        return self.num_capture_channels
 
     @property
     def agc1_hybrid(self) -> bool:
@@ -189,11 +197,15 @@ class ApmGeometry:
         return c.enabled and c.analog_gain_controller.enabled
 
     def capture_buffer_config(self) -> audio_buffer.BufferConfig:
+        # The working buffer always carries the output channel count
+        # (audio_processing_impl.cc:588-594); with a mono-mode echo
+        # controller the pipeline narrows to channel 0 after the band
+        # split (:1365-1373), it does NOT average-downmix at input.
         return audio_buffer.BufferConfig(
             input_rate=self.capture_input_rate,
             input_num_channels=self.num_capture_channels,
             buffer_rate=self.capture_processing_rate,
-            buffer_num_channels=self.capture_processing_channels,
+            buffer_num_channels=self.num_capture_channels,
             output_rate=self.capture_output_rate,
             output_num_channels=self.num_capture_channels,
             downmix_method=self.config.pipeline.capture_downmix_method,
@@ -322,7 +334,16 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
             jnp.asarray(c.pre_amplifier.fixed_gain_factor, dtype)
             if c.pre_amplifier.enabled else None
         ),
-        hpf=(hpf.init_state(proc_ch, dtype)
+        # Full-band HPF runs before the mono narrowing and therefore on the
+        # output channel count; split-band HPF runs after, on the
+        # processing channels (InitializeHighPassFilter,
+        # audio_processing_impl.cc:1893-1900).
+        hpf=(hpf.init_state(
+                geo.num_capture_channels
+                if (c.high_pass_filter.apply_in_full_band
+                    and not (c.echo_canceller.enabled and num_bands > 1))
+                else proc_ch,
+                dtype)
              if c.high_pass_filter.enabled
              or (c.echo_canceller.enabled
                  and c.echo_canceller.enforce_high_pass_filtering)
@@ -520,6 +541,14 @@ def process_stream_pair(
         cbuf, bands = audio_buffer.split_into_frequency_bands(cap_cfg, cbuf, y)
     else:
         bands = y[None]
+
+    # Echo-controller mono narrowing (:1365-1373): keep channel 0 only —
+    # the reference truncates the channel view (set_num_channels(1)), it
+    # does not mix. Output upmixing duplicates channel 0 back.
+    if (geo.echo_controller_enabled
+            and geo.capture_processing_channels < bands.shape[-1]):
+        bands = bands[..., : geo.capture_processing_channels]
+        y = y[..., : geo.capture_processing_channels]
 
     # Split-band HPF (:1375-1380).
     if apply_hpf and not (hpf_full_band and cap_cfg.num_bands == 1):
