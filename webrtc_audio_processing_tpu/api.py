@@ -172,6 +172,36 @@ class AudioProcessing:
             self._aec_dump = None
         return 0
 
+    def attach_data_dumper(self, directory: str):
+        """ApmDataDumper analog (logging/apm_data_dumper.h, the
+        WEBRTC_APM_DEBUG_DUMP build mode): record named AEC3 internal
+        signals per frame — spectra Y2/E2/S2/R2/N2, suppressor gain,
+        linear output — for diffing against the reference's dumps. Saved
+        as one .npy per name on detach (arrays stacked over frames)."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        self._data_dump_dir = directory
+        self._data_dump = {}
+        self._geo = None  # re-trace with debug taps on
+        return 0
+
+    def detach_data_dumper(self):
+        """Finalize the data dump: write one stacked array per tap name."""
+        import os
+
+        import numpy as _np
+
+        dump = getattr(self, "_data_dump", None)
+        if dump:
+            for name, frames in dump.items():
+                _np.save(os.path.join(self._data_dump_dir, f"{name}.npy"),
+                         _np.stack([_np.asarray(f) for f in frames]))
+        self._data_dump = None
+        self._data_dump_dir = None
+        self._geo = None
+        return 0
+
     # ------------------------------------------------------------ config
 
     def apply_config(self, config: cfg_mod.Config):
@@ -203,6 +233,7 @@ class AudioProcessing:
             num_render_channels=render_channels or 1,
             aec3_cfg=self._aec3_config,
             injections=self._injections,
+            debug_taps=getattr(self, "_data_dump_dir", None) is not None,
         )
         from webrtc_audio_processing_tpu.utils import complex_boundary as cb
 
@@ -313,6 +344,9 @@ class AudioProcessing:
         )
         self._frame_index += 1
         self._last_stats = stats
+        if getattr(self, "_data_dump_dir", None) and "aec3_taps" in stats:
+            for name, v in stats["aec3_taps"].items():
+                self._data_dump.setdefault(name, []).append(v)
         out_np = np.asarray(out)
         if (self._config.echo_canceller.enabled
                 and not self._config.echo_canceller.mobile_mode):

@@ -93,6 +93,7 @@ class ApmGeometry:
         render_output_rate: int | None = None,
         aec3_cfg: aec3_config.EchoCanceller3Config | None = None,
         injections: object | None = None,
+        debug_taps: bool = False,
     ) -> "ApmGeometry":
         capture_output_rate = capture_output_rate or capture_input_rate
         render_input_rate = render_input_rate or capture_input_rate
@@ -143,7 +144,7 @@ class ApmGeometry:
                 )
                 aec_geo = ec3.Aec3Geometry.create(
                     acfg, cap_rate, ren_channels, cap_ch,
-                    nree=nree,
+                    nree=nree, debug_taps=debug_taps,
                 )
 
         aecm_geo = None
@@ -584,9 +585,14 @@ def process_stream_pair(
                 "process_stream_pair needs n0 (AEC3 block ordinal) when the "
                 "echo canceller is enabled"
             )
-        new_aec, bands, linear_out = ec3.process_frame(
+        aec_out = ec3.process_frame(
             geo.aec3, state.aec, render_bands, bands, parity % 2, n0=n0
         )
+        if geo.aec3.debug_taps:
+            new_aec, bands, linear_out, aec_taps = aec_out
+            stats["aec3_taps"] = aec_taps
+        else:
+            new_aec, bands, linear_out = aec_out
     elif state.echo_control is not None and render_bands is not None:
         new_echo_control, bands, linear_out = geo.echo_control.process_frame(
             state.echo_control, render_bands, bands, parity % 2

@@ -44,11 +44,17 @@ class Aec3Geometry:
     # Injected neural residual-echo estimator
     # (api/audio/neural_residual_echo_estimator.h); None = model-based.
     nree: object | None = None
+    # Debug-tap mode: process_frame also returns a dict of named internal
+    # signals per frame (last block), mirroring the reference's
+    # ApmDataDumper (modules/audio_processing/logging/apm_data_dumper.h;
+    # WEBRTC_APM_DEBUG_DUMP builds).
+    debug_taps: bool = False
 
     @staticmethod
     def create(config: EchoCanceller3Config, sample_rate_hz: int,
                num_render: int, num_capture: int,
-               nree: object | None = None) -> "Aec3Geometry":
+               nree: object | None = None,
+               debug_taps: bool = False) -> "Aec3Geometry":
         return Aec3Geometry(
             config=config,
             sample_rate_hz=sample_rate_hz,
@@ -58,6 +64,7 @@ class Aec3Geometry:
             buffer=rb.BufferGeometry.create(config, sample_rate_hz, num_render),
             delay=de.DelayGeometry.create(config),
             nree=nree,
+            debug_taps=debug_taps,
         )
 
 
@@ -163,7 +170,7 @@ def _process_capture_block(
     n,  # () int32 — uniform total insert count (see render_buffer.py)
 ):
     """BlockProcessorImpl::ProcessCapture (block_processor.cc:84-200) for one
-    block. Returns (state, out_block, linear_block)."""
+    block. Returns (state, out_block, linear_block, taps)."""
     cfg = geo.config
 
     # First-capture reset (block_processor.cc:102-113). Render always starts
@@ -210,11 +217,12 @@ def _process_capture_block(
     )
     del clock_drift  # config-level clock drift flag is used inside remover
 
+    taps = {} if geo.debug_taps else None
     remover, out_block, linear = er.process_capture(
         cfg, state.remover, geo.buffer, rb.RenderView(buffer, n),
         capture_block,
         delay_change, echo_path_gain_change, state.saturated_microphone,
-        est_delay, est_valid, nree=geo.nree,
+        est_delay, est_valid, nree=geo.nree, taps=taps,
     )
 
     new_state = state.replace(
@@ -224,7 +232,7 @@ def _process_capture_block(
         capture_started=jnp.asarray(True),
         render_event_pending=jnp.asarray(0, jnp.int32),
     )
-    return new_state, out_block, linear
+    return new_state, out_block, linear, taps
 
 
 def process_frame(
@@ -298,8 +306,9 @@ def process_frame(
                                       state.capture_blocker_carry, parity)
     out_blocks = []
     linear_blocks = []
+    taps = None
     for blk in c_blocks:
-        state, out_blk, linear = _process_capture_block(
+        state, out_blk, linear, taps = _process_capture_block(
             geo, state, blk, jnp.asarray(level_change), n
         )
         out_blocks.append(out_blk)
@@ -317,6 +326,9 @@ def process_frame(
         output_framer_carry=out_carry,
         linear_framer_carry=linear_carry[0],
     )
+    if geo.debug_taps:
+        # Last block's named internals, the ApmDataDumper analog.
+        return state, out_frame, linear_frame[0], taps
     return state, out_frame, linear_frame[0]
 
 

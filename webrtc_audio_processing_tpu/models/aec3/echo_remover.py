@@ -733,6 +733,8 @@ def process_capture(
     external_delay,  # () int32
     external_delay_valid,  # () bool
     nree=None,  # injected NeuralResidualEchoEstimator (builder.py) or None
+    taps=None,  # dict to fill with named intermediate signals (the
+    #             ApmDataDumper analog; echo_remover.cc:472-495)
 ):
     """EchoRemoverImpl::ProcessCapture (echo_remover.cc:236-450).
 
@@ -866,6 +868,22 @@ def process_capture(
     supp_filter_state, out = suppression_filter_apply(
         state.supp_filter, N_low, N_high, G, high_gain, Y_fft, capture_block
     )
+
+    if taps is not None:
+        # Names follow the reference's ApmDataDumper keys
+        # (echo_remover.cc:472-495).
+        taps.update({
+            "aec3_Y2": Y2,
+            "aec3_E2": E2,
+            "aec3_S2_linear": S2_linear,
+            "aec3_R2": R2,
+            "aec3_N2": N2,
+            "aec3_suppressor_gain": G,
+            "aec3_output": jnp.swapaxes(out[0], 0, 1),
+            "aec3_linear_aec_output": e,
+            "aec3_usable_linear_estimate": aec.usable_linear_estimate,
+            "aec3_filter_delay": aec.min_filter_delay,
+        })
 
     new_state = EchoRemoverState(
         subtractor=sub_state,
