@@ -107,3 +107,40 @@ class TestRmsLevel:
         st, avg, peak = rms_level.average_and_peak_with_block_size(st, 160)
         # 20*log10(0.5) = -6.02 -> 6
         assert int(avg) == 6 and int(peak) == 6
+
+
+class TestPostFilterWiring:
+    """PostFilter::CreateIfNeeded requires proc rate == 48 kHz exactly
+    (post_filter.cc:44-52); the APM must not attach one at 32 kHz."""
+
+    def _state_for(self, rate, mobile=False, max_internal=48000):
+        from webrtc_audio_processing_tpu import apm, config as cfg_mod
+
+        c = cfg_mod.Config().replace(
+            pipeline=cfg_mod.Pipeline(
+                maximum_internal_processing_rate=max_internal
+            ),
+            echo_canceller=cfg_mod.EchoCanceller(
+                enabled=True, mobile_mode=mobile
+            ),
+        )
+        geo = apm.ApmGeometry.create(c, rate)
+        return apm.init_state(geo)
+
+    def test_no_post_filter_at_32k(self):
+        assert self._state_for(32000).pf is None
+
+    def test_no_post_filter_at_16k(self):
+        assert self._state_for(16000).pf is None
+
+    def test_post_filter_at_48k(self):
+        assert self._state_for(48000).pf is not None
+
+    def test_no_post_filter_for_mobile_mode(self):
+        assert self._state_for(48000, mobile=True).pf is None
+
+    def test_no_post_filter_with_default_32k_internal_cap(self):
+        # Config::Pipeline defaults maximum_internal_processing_rate to
+        # 32000 (audio_processing.h:148): a 48 kHz stream processes at
+        # 32 kHz and must not get the 48 kHz-designed post filter.
+        assert self._state_for(48000, max_internal=32000).pf is None

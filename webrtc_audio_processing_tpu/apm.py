@@ -370,9 +370,14 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
                              use_internal_vad=True, dtype=dtype,
                              num_channels=proc_ch)
               if c.gain_controller2.enabled else None),
+        # PostFilter::CreateIfNeeded returns one only at exactly 48 kHz
+        # (post_filter.cc:44-52), and only on the echo-controller (desktop
+        # AEC3 / injected) path of InitializeEchoController
+        # (audio_processing_impl.cc:1954-1959) — never for mobile_mode.
         pf=(post_filter.init_state(proc_ch, dtype)
-            if geo.capture_processing_rate >= 32000
-            and c.echo_canceller.enabled else None),
+            if geo.capture_processing_rate == 48000
+            and c.echo_canceller.enabled
+            and not c.echo_canceller.mobile_mode else None),
         ed=(_ed_module(geo).init_state(dtype)
             if c.echo_canceller.enabled else None),
         input_rms=rms_level.init_state(),
@@ -698,7 +703,7 @@ def process_stream_pair(
         )
         stats.update({f"agc2_{k}": v for k, v in agc_info.items()})
 
-    # PostFilter (:1479-1481) — only at >=32 kHz with AEC3.
+    # PostFilter (:1479-1481) — only at exactly 48 kHz with AEC3.
     new_pf = state.pf
     if state.pf is not None:
         new_pf, y = post_filter.process(state.pf, y)
