@@ -1,14 +1,15 @@
-"""Benchmark: concurrent real-time streams per chip for the capture chain.
+"""Benchmark: concurrent real-time streams per chip for the full APM.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Measures the vmapped capture-chain step (NS + AGC2 incl. RNN-VAD, plus AEC3
-when available) at 10 ms frames and reports how many concurrent streams fit
-in real time on one chip. vs_baseline is measured against the north-star
-target of 10,000 concurrent real-time streams/chip (BASELINE.json; the
-reference itself publishes no numbers — it is a single-stream real-time
-library, one stream per core).
+Headline config is the BASELINE.md north star: **48 kHz stereo full APM**
+(3-band QMF split + multichannel AEC3 + NS + AGC2 incl. RNN-VAD + HPF,
+driven through apm.process_stream_pair — the same pure step the public API
+uses). Secondary: the 16 kHz mono chain measured in round 1. vs_baseline
+is against the north-star target of 10,000 concurrent real-time 48 kHz
+stereo streams/chip (BASELINE.json; the reference publishes no numbers —
+it is a single-stream real-time library, one stream per core).
 """
 
 from __future__ import annotations
@@ -21,91 +22,78 @@ import time
 import numpy as np
 
 NORTH_STAR_STREAMS = 10000.0
-RATE = 16000
-FRAME = RATE // 100
 
 # Persistent compilation cache: the remote TPU attachment compiles these
 # programs in minutes; cached reruns start in seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
+MODES = {
+    # mode: (rate, capture_ch, render_ch, max_internal_rate)
+    "48k_stereo": (48000, 2, 2, 48000),
+    "16k_mono": (16000, 1, 1, 32000),
+}
 
-def build_step():
+
+def build_step(mode):
+    """Full-APM paired step (render + capture) for one stream.
+
+    Returns (init_encoded_state, pair_step) where pair_step advances two
+    frames (parity 0 then 1) so the AEC3 80<->64 rebuffering cadence stays
+    static (5 blocks per 2 frames).
+    """
     import jax
     import jax.numpy as jnp
 
-    from webrtc_audio_processing_tpu import config as cfg
-    from webrtc_audio_processing_tpu.models import noise_suppressor as ns
-    from webrtc_audio_processing_tpu.models.agc2 import gain_controller2 as gc2
+    from webrtc_audio_processing_tpu import apm, config as cfg_mod
+    from webrtc_audio_processing_tpu.utils import complex_boundary as cb
 
-    params = ns.SUPPRESSION_PARAMS[cfg.NoiseSuppressionLevel.HIGH]
-    agc_cfg = cfg.GainController2(
-        enabled=True,
-        adaptive_digital=cfg.AdaptiveDigital(enabled=True),
-        fixed_digital=cfg.FixedDigital(gain_db=0.0),
+    rate, cap_ch, ren_ch, max_internal = MODES[mode]
+
+    c = cfg_mod.Config().replace(
+        pipeline=cfg_mod.Pipeline(
+            multi_channel_capture=cap_ch > 1,
+            multi_channel_render=ren_ch > 1,
+            maximum_internal_processing_rate=max_internal,
+        ),
+        high_pass_filter=cfg_mod.HighPassFilter(enabled=True),
+        echo_canceller=cfg_mod.EchoCanceller(enabled=True),
+        noise_suppression=cfg_mod.NoiseSuppression(enabled=True),
+        gain_controller2=cfg_mod.GainController2(
+            enabled=True,
+            adaptive_digital=cfg_mod.AdaptiveDigital(enabled=True),
+        ),
+    )
+    geo = apm.ApmGeometry.create(
+        c, rate, cap_ch,
+        render_input_rate=rate, num_render_channels=ren_ch,
     )
 
-    try:
-        from webrtc_audio_processing_tpu.models.aec3 import (
-            config as aec3_config,
-            echo_canceller3 as ec3,
+    def init():
+        return cb.init_encoded(lambda: apm.init_state(geo))
+
+    zero = jnp.asarray(0, jnp.int32)
+
+    def pair_step(state, r0, c0, r1, c1, n0):
+        state = cb.decode(state)
+        state, _y0, _r, _s = apm.process_stream_pair(
+            geo, state, c0, r0, 0, stream_delay_ms=zero,
+            applied_input_volume=zero, n0=n0,
         )
-
-        aec_geo = ec3.Aec3Geometry.create(
-            aec3_config.EchoCanceller3Config(), RATE, 1, 1
+        state, y1, _r, _s = apm.process_stream_pair(
+            geo, state, c1, r1, 1, stream_delay_ms=zero,
+            applied_input_volume=zero, n0=n0 + 2,
         )
-        have_aec = True
-    except Exception:
-        have_aec = False
+        return cb.encode(state), y1[..., 0]
 
-    def single_init():
-        state = {
-            "ns": ns.init_state(1, 1),
-            "agc": gc2.init_state(agc_cfg, RATE, use_internal_vad=True),
-        }
-        if have_aec:
-            state["aec"] = ec3.init_state(aec_geo)
-        return state
-
-    from webrtc_audio_processing_tpu.utils import complex_boundary as cb
-
-    def single_step(state, render, capture, parity, n0=0):
-        out = capture
-        new_state = dict(state)
-        if have_aec:
-            aec_state, out_bands, _linear = ec3.process_frame(
-                aec_geo, state["aec"], render[None], out[None], parity, n0=n0
-            )
-            new_state["aec"] = aec_state
-            out = out_bands[0]
-        ns_state = ns.analyze(params, state["ns"], out)
-        ns_state, bands = ns.process(params, ns_state, out[None])
-        new_state["ns"] = ns_state
-        agc_state, y, _info = gc2.process(
-            agc_cfg, state["agc"], bands[0], RATE
-        )
-        new_state["agc"] = agc_state
-        return new_state, y
-
-    import jax
-
-    def batched(n_streams, parity):
-        # State crosses the jit boundary complex-free (the TPU attachment
-        # rejects eager complex64; see utils/complex_boundary.py).
-        return jax.jit(
-            jax.vmap(
-                cb.wrap_step(lambda s, r, c: single_step(s, r, c, parity)),
-            )
-        )
-
-    return single_init, single_step, batched, have_aec
+    frame = rate // 100
+    return init, pair_step, frame, cap_ch, ren_ch
 
 
-def measure_streams():
+def measure_streams(mode, budget_s, batch_sizes):
     import jax
     import jax.numpy as jnp
 
-    single_init, single_step, batched, have_aec = build_step()
-    from webrtc_audio_processing_tpu.utils import complex_boundary as cb
+    init, pair_step, frame, cap_ch, ren_ch = build_step(mode)
 
     rng = np.random.default_rng(0)
     # 50 frames (500 ms of audio) per device dispatch: the remote TPU
@@ -114,52 +102,45 @@ def measure_streams():
     CHUNK_PAIRS = 25
 
     def throughput(n_streams):
-        """Seconds of wall time per 10 ms frame for `n_streams`, using a
-        scan-carried state over frame chunks so per-dispatch overhead
-        amortizes, plus two chunks in flight so dispatch latency overlaps
-        device execution."""
-        init_one = cb.init_encoded(single_init)
+        """Wall seconds per 10 ms frame for `n_streams`: scan-carried state
+        over frame chunks (amortizes dispatch), two chunks in flight
+        (overlaps tunnel latency with device execution)."""
+        init_one = init()
         state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_streams,) + x.shape), init_one
         )
 
-        def pair_step(s, rc, n0):
-            r0, c0, r1, c1 = rc
-            s = cb.decode(s)
-            s, _ = single_step(s, r0, c0, 0, n0=n0)
-            s, y = single_step(s, r1, c1, 1, n0=n0 + 2)
-            return cb.encode(s), y[..., 0, 0]
-
         def chunk(s, frames, n0s):
-            # n0s: (CHUNK_PAIRS,) uniform AEC3 block ordinals, one per pair;
-            # unbatched under vmap so ring writes stay batch-uniform.
-            def body(c, xs):
+            # n0s: (CHUNK_PAIRS,) batch-uniform AEC3 block ordinals, one per
+            # pair; unbatched under vmap so ring writes stay batch-uniform.
+            def body(carry, xs):
                 fr, n0 = xs
                 return jax.vmap(
-                    pair_step, in_axes=(0, 0, None)
-                )(c, fr, n0)
-            frames_t = jnp.moveaxis(frames, 2, 1)  # (pairs, n, 4, FRAME, 1)
-            return jax.lax.scan(body, s, (frames_t, n0s))
+                    pair_step, in_axes=(0, 0, 0, 0, 0, None)
+                )(carry, fr[0], fr[1], fr[2], fr[3], n0)
 
-        step = jax.jit(chunk)
+            return jax.lax.scan(body, s, (frames, n0s))
+
+        step = jax.jit(chunk, donate_argnums=(0,))
+        ren = rng.standard_normal(
+            (CHUNK_PAIRS, 2, n_streams, frame, ren_ch)
+        ).astype(np.float32) * 0.03
+        cap = rng.standard_normal(
+            (CHUNK_PAIRS, 2, n_streams, frame, cap_ch)
+        ).astype(np.float32) * 0.03
+        # (pairs, [r0 c0 r1 c1], n, frame, ch)
         frames = jnp.asarray(
-            rng.standard_normal(
-                (CHUNK_PAIRS, 4, n_streams, FRAME, 1)
-            ).astype(np.float32) * 1000
-        )  # (pairs, [r0 c0 r1 c1], n, FRAME, 1)
+            np.stack([ren[:, 0], cap[:, 0], ren[:, 1], cap[:, 1]], axis=1)
+        )
 
         def n0s_for(chunk_idx):
             base = 5 * CHUNK_PAIRS * chunk_idx
-            return jnp.asarray(
-                base + 5 * np.arange(CHUNK_PAIRS), jnp.int32
-            )
+            return jnp.asarray(base + 5 * np.arange(CHUNK_PAIRS), jnp.int32)
 
         state, y = step(state, frames, n0s_for(0))
         jax.block_until_ready(y)
-        # Take the fastest of several repeats: the remote attachment has
-        # intermittent multi-second stalls unrelated to device time. Each
-        # repeat keeps two chunks in flight (async dispatch) so the
-        # per-call tunnel latency overlaps device execution.
+        # Fastest of several repeats: the remote attachment has intermittent
+        # multi-second stalls unrelated to device time.
         best_dt = float("inf")
         for rep in range(3):
             t0 = time.perf_counter()
@@ -171,48 +152,62 @@ def measure_streams():
             best_dt = min(best_dt, dt)
         return best_dt
 
-    # Sustainable concurrent real-time streams at batch n is
-    # n * (10 ms / frame_time); climb n while it improves. Each batch size
-    # costs a full recompile, and the remote TPU attachment compiles slowly,
-    # so the ramp is budgeted: few sizes, stop when the wall-clock budget is
-    # spent, and always report the best measured so far.
-    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "900"))
     t_start = time.perf_counter()
     best_streams = 0
     results = {}
-    for n in (1024, 4096, 8192, 16384):
+    for n in batch_sizes:
         if best_streams and time.perf_counter() - t_start > budget_s:
-            print(f"# budget exhausted before n={n}", file=sys.stderr)
+            print(f"# [{mode}] budget exhausted before n={n}",
+                  file=sys.stderr)
             break
         try:
             dt = throughput(n)
         except Exception as e:
-            print(f"# n={n} failed: {e}", file=sys.stderr)
+            print(f"# [{mode}] n={n} failed: {e}", file=sys.stderr)
             break
         streams = int(n * min(0.010 / dt, 1.0))
         results[n] = dt
-        print(f"# n={n}: {dt*1e3:.2f} ms/frame -> {streams} rt streams",
-              file=sys.stderr)
+        print(f"# [{mode}] n={n}: {dt*1e3:.2f} ms/frame -> {streams} "
+              "rt streams", file=sys.stderr)
         if streams <= best_streams * 0.9:
             break
         best_streams = max(best_streams, streams)
-    return best_streams, best_streams, results
+    return best_streams, results
 
 
 def main():
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "900"))
+    mode = os.environ.get("BENCH_MODE", "both")
+    t0 = time.perf_counter()
+
+    headline = 0
+    secondary = None
     try:
-        best, est, results = measure_streams()
-        value = est
+        if mode in ("both", "48k_stereo"):
+            headline, _ = measure_streams(
+                "48k_stereo", budget_s * 0.75,
+                (512, 1024, 2048, 4096, 8192),
+            )
+        if mode in ("both", "16k_mono"):
+            remaining = budget_s - (time.perf_counter() - t0)
+            if mode == "16k_mono" or remaining > 120:
+                secondary, _ = measure_streams(
+                    "16k_mono", max(remaining, 60),
+                    (1024, 4096, 8192, 16384),
+                )
     except Exception as e:  # always emit the JSON line for the driver
         print(f"# bench failed: {e}", file=sys.stderr)
-        value = 0
+
     out = {
-        "metric": "real-time 16 kHz mono capture-chain streams per chip "
-                  "(AEC3+NS+AGC2/RNN-VAD, 10 ms frames)",
-        "value": value,
+        "metric": "real-time 48 kHz stereo full-APM streams per chip "
+                  "(3-band QMF + multichannel AEC3 + NS + AGC2/RNN-VAD, "
+                  "10 ms frames)",
+        "value": headline,
         "unit": "streams",
-        "vs_baseline": value / NORTH_STAR_STREAMS,
+        "vs_baseline": headline / NORTH_STAR_STREAMS,
     }
+    if secondary is not None:
+        out["secondary_16k_mono_streams"] = secondary
     print(json.dumps(out))
 
 

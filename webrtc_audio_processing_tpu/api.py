@@ -137,6 +137,14 @@ class AudioProcessing:
         self._output_rms_history = []
         self._last_stats = {}
         self._aec_dump = None
+        # Mute/unmute state (kCaptureOutputUsed runtime setting,
+        # audio_processing_impl.cc:818-839, applied :1540-1552).
+        self._capture_output_used = True
+        self._capture_output_used_last_frame = True
+        # Host-tracked stereo-content detection state (ConfigSelector): the
+        # AEC3 geometry is rebuilt when the detector flips
+        # (echo_canceller3.cc:977-1005).
+        self._aec3_stereo_active = False
         # Host-side AEC3 metric reporters (utils/metrics.py; reference
         # echo_canceller3.cc api_call_metrics_ + block_processor.cc /
         # echo_remover.cc / render_delay_controller.cc counterparts).
@@ -206,8 +214,10 @@ class AudioProcessing:
 
     def apply_config(self, config: cfg_mod.Config):
         """ApplyConfig (audio_processing_impl.cc:694-771). Re-initializes
-        when submodule topology changes (selective re-init is a later
-        refinement)."""
+        when the config actually changes (the reference diffs per submodule;
+        an identical config is a no-op and keeps all state)."""
+        if config == self._config:
+            return
         self._config = config
         self._geo = None  # force re-init on next frame
 
@@ -234,6 +244,7 @@ class AudioProcessing:
             aec3_cfg=self._aec3_config,
             injections=self._injections,
             debug_taps=getattr(self, "_data_dump_dir", None) is not None,
+            aec3_stereo_content=self._aec3_stereo_active,
         )
         from webrtc_audio_processing_tpu.utils import complex_boundary as cb
 
@@ -252,6 +263,23 @@ class AudioProcessing:
 
             return jax.jit(cb.wrap_step(fn))
 
+        def make_banded(parity):
+            # Capture-only step consuming render bands the synchronous
+            # render step already produced (reference queue hand-off).
+            def fn(state, cap, ren_bands, delay_ms, applied_volume, n0):
+                return apm.process_stream_pair(
+                    geo, state, cap, None, parity, stream_delay_ms=delay_ms,
+                    applied_input_volume=applied_volume, n0=n0,
+                    render_bands=ren_bands,
+                )
+
+            return jax.jit(cb.wrap_step(fn))
+
+        def render_fn(state, ren):
+            return apm.process_render_stream(geo, state, ren)
+
+        self._render_step = jax.jit(cb.wrap_step(render_fn))
+
         # The parity cycle covers the AEC3 80<->64 rebuffering (period 2),
         # AECM's frame->block cycle (2 at 16 kHz, 4 at 8 kHz), and the
         # hybrid analog AGC's 30 ms analytics cadence (period 3).
@@ -264,6 +292,7 @@ class AudioProcessing:
             period = _math.lcm(period, 3)
         self._parity_period = period
         self._steps = [make(p) for p in range(period)]
+        self._banded_steps = [make_banded(p) for p in range(period)]
         self._frame_index = 0
         self._render_queue.clear()
 
@@ -286,9 +315,28 @@ class AudioProcessing:
         if len(self._render_queue) >= RENDER_QUEUE_SIZE_FRAMES:
             self._render_queue.popleft()
             self._block_metrics.update_render(overrun=True)
-        self._render_queue.append(render)
         if self._config.echo_canceller.enabled:
             self._jitter_metrics.report_render_call()
+
+        # With the geometry known and a matching format, the render half
+        # runs synchronously (ProcessRenderStreamLocked) and the processed,
+        # format-converted render signal is returned — the reference's
+        # AudioConverter output path (audio_processing_impl.cc:1594-1605).
+        # The banded render is queued for the next capture frame (SwapQueue
+        # hand-off). Before initialization the raw frame is queued and the
+        # render side runs inside the paired capture step instead.
+        geo = self._geo
+        if (geo is not None
+                and render.shape[0] == frame_size(geo.render_input_rate)
+                and render.shape[1] == geo.num_render_channels):
+            import jax.numpy as jnp
+
+            self._state, render_out, render_bands = self._render_step(
+                self._state, jnp.asarray(render)
+            )
+            self._render_queue.append(("bands", render_bands))
+            return kNoError, np.asarray(render_out)
+        self._render_queue.append(("raw", render))
         return kNoError, render
 
     def analyze_reverse_stream(self, render, sample_rate_hz=None):
@@ -312,10 +360,18 @@ class AudioProcessing:
         if sample_rate_hz % 100 != 0:
             return kBadSampleRateError, capture
 
+        render_bands = None
         if self._render_queue:
-            render = self._render_queue.popleft()
-            render_rate = render.shape[0] * 100
-            render_channels = render.shape[1]
+            kind, payload = self._render_queue.popleft()
+            if kind == "bands":
+                render_bands = payload
+                render_rate = self._geo.render_input_rate
+                render_channels = self._geo.num_render_channels
+                render = None
+            else:
+                render = payload
+                render_rate = render.shape[0] * 100
+                render_channels = render.shape[1]
         else:
             render_rate = sample_rate_hz
             render_channels = (
@@ -324,30 +380,64 @@ class AudioProcessing:
             render = np.zeros((frame_size(render_rate), render_channels),
                               np.float32)
 
+        geo_before = self._geo
         self._ensure_initialized(
             sample_rate_hz, capture.shape[1], render_rate, render_channels,
             output_sample_rate_hz,
         )
+        if render_bands is not None and self._geo is not geo_before:
+            # Capture-format change re-initialized the pipeline; the banded
+            # render belongs to the old geometry (the reference drops queued
+            # render on re-init too). Fall back to a silent render frame.
+            render_bands = None
+            render = np.zeros(
+                (frame_size(self._geo.render_input_rate),
+                 self._geo.num_render_channels), np.float32,
+            )
 
         import jax.numpy as jnp
 
-        step = self._steps[self._frame_index % self._parity_period]
         # AEC3 block ordinal before this frame: 5 blocks per 2 frames
         # (2 on even parity, 3 on odd — aec3 FrameBlocker cadence).
         f = self._frame_index
         n0 = 5 * (f // 2) + 2 * (f % 2)
-        self._state, out, _ren_out, stats = step(
-            self._state, jnp.asarray(capture), jnp.asarray(render),
-            jnp.asarray(self._stream_delay_ms, jnp.int32),
-            jnp.asarray(getattr(self, "_analog_level", 0), jnp.int32),
-            jnp.asarray(n0, jnp.int32),
-        )
+        if render_bands is not None:
+            step = self._banded_steps[f % self._parity_period]
+            self._state, out, _ren_out, stats = step(
+                self._state, jnp.asarray(capture), render_bands,
+                jnp.asarray(self._stream_delay_ms, jnp.int32),
+                jnp.asarray(getattr(self, "_analog_level", 0), jnp.int32),
+                jnp.asarray(n0, jnp.int32),
+            )
+        else:
+            step = self._steps[f % self._parity_period]
+            self._state, out, _ren_out, stats = step(
+                self._state, jnp.asarray(capture), jnp.asarray(render),
+                jnp.asarray(self._stream_delay_ms, jnp.int32),
+                jnp.asarray(getattr(self, "_analog_level", 0), jnp.int32),
+                jnp.asarray(n0, jnp.int32),
+            )
         self._frame_index += 1
         self._last_stats = stats
+        # Stereo-content flip (echo_canceller3.cc:977-1005): rebuild the
+        # AEC3 with the config/channel-count ConfigSelector now chooses.
+        if (self._geo.aec3_dynamic_stereo
+                and "multichannel_config_changed" in stats
+                and bool(np.asarray(stats["multichannel_config_changed"]))):
+            self._handle_stereo_content_flip(
+                bool(np.asarray(stats["multichannel_content_detected"]))
+            )
         if getattr(self, "_data_dump_dir", None) and "aec3_taps" in stats:
             for name, v in stats["aec3_taps"].items():
                 self._data_dump.setdefault(name, []).append(v)
         out_np = np.asarray(out)
+        # Unmute click suppression (audio_processing_impl.cc:1540-1552):
+        # the first frame after the capture output becomes used again is
+        # zeroed to avoid reactivation clicks.
+        if (self._capture_output_used
+                and not self._capture_output_used_last_frame):
+            out_np = np.zeros_like(out_np)
+        self._capture_output_used_last_frame = self._capture_output_used
         if (self._config.echo_canceller.enabled
                 and not self._config.echo_canceller.mobile_mode):
             self._feed_aec3_metrics(stats)
@@ -492,6 +582,30 @@ class AudioProcessing:
                 int(stats.get("aec3_min_filter_delay", 0)),
             )
 
+    def _handle_stereo_content_flip(self, stereo_active: bool):
+        """Stereo-content flip: rebuild the AEC3 under the newly selected
+        config/channel-count while preserving the content detector and all
+        other submodule state (EchoCanceller3::Initialize via
+        EmptyRenderQueue, echo_canceller3.cc:827-850, 977-981)."""
+        from webrtc_audio_processing_tpu.models.aec3 import (
+            echo_canceller3 as ec3,
+        )
+        from webrtc_audio_processing_tpu.utils import complex_boundary as cb
+
+        self._aec3_stereo_active = stereo_active
+        old_state = self._state
+        key = self._geo_key
+        self._geo = None
+        self._ensure_initialized(*key)
+        geo = self._geo
+        if geo.aec3 is None or old_state is None:
+            return
+        fresh_aec = cb.init_encoded(lambda: ec3.init_state(geo.aec3))
+        fresh_aec = fresh_aec.replace(
+            mc_detector=old_state.aec.mc_detector
+        )
+        self._state = old_state.replace(aec=fresh_aec)
+
     def _refresh_config(self, new_config):
         """Swap the active config, re-jit the steps, keep the stream state
         when its pytree structure is unchanged."""
@@ -557,6 +671,22 @@ class AudioProcessing:
                 st["echo_return_loss_enhancement"]
             )
             s.delay_ms = int(st["delay_ms"])
+        if "aec3_divergent_filter_fraction" in st:
+            # Populated by this backend; the reference impl declares the
+            # field but leaves it to alternative backends
+            # (audio_processing_statistics.h:45).
+            s.divergent_filter_fraction = float(
+                st["aec3_divergent_filter_fraction"]
+            )
+        if (self._state is not None
+                and getattr(self._state, "delay_history_ms", None)
+                is not None):
+            hist = np.asarray(self._state.delay_history_ms)
+            valid = np.asarray(self._state.delay_history_valid)
+            if valid.any():
+                d = hist[valid]
+                s.delay_median_ms = int(np.median(d))
+                s.delay_standard_deviation_ms = int(np.std(d))
         if self._state is not None:
             _, avg = rms_level.average_and_peak(self._state.output_rms)
             s.output_rms_dbfs = int(avg)

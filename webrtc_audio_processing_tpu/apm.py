@@ -48,6 +48,14 @@ from webrtc_audio_processing_tpu.models.aecm import (
 from webrtc_audio_processing_tpu.ops import gain_ramp
 
 
+def _to_s16(x):
+    """FloatS16ToS16 (common_audio/include/audio_util.h): round half away
+    from zero with clamping — the conversion every int16 export uses."""
+    return jnp.clip(
+        jnp.trunc(x + jnp.copysign(0.5, x)), -32768.0, 32767.0
+    ).astype(jnp.int32)
+
+
 def suitable_process_rate(minimum_rate: int, max_splitting_rate: int,
                           band_splitting_required: bool) -> int:
     """SuitableProcessRate (audio_processing_impl.cc:92-107)."""
@@ -81,6 +89,10 @@ class ApmGeometry:
     # Injected EchoControl instance (builder.EchoControlFactory.create
     # result) replacing the built-in AEC3 (echo_control.h:51-60).
     echo_control: object | None = None
+    # True when AEC3 runs with stereo render content detection and the host
+    # must re-create the geometry when the detector flips
+    # (echo_canceller3.cc:977-981, config_selector.cc).
+    aec3_dynamic_stereo: bool = False
 
     @staticmethod
     def create(
@@ -94,6 +106,7 @@ class ApmGeometry:
         aec3_cfg: aec3_config.EchoCanceller3Config | None = None,
         injections: object | None = None,
         debug_taps: bool = False,
+        aec3_stereo_content: bool = False,  # host-tracked detector state
     ) -> "ApmGeometry":
         capture_output_rate = capture_output_rate or capture_input_rate
         render_input_rate = render_input_rate or capture_input_rate
@@ -126,6 +139,7 @@ class ApmGeometry:
 
         aec_geo = None
         echo_control = None
+        dynamic_stereo = False
         factory = getattr(injections, "echo_control_factory", None)
         nree = getattr(injections, "neural_residual_echo_estimator", None)
         if config.echo_canceller.enabled and not config.echo_canceller.mobile_mode:
@@ -136,14 +150,31 @@ class ApmGeometry:
                 # (audio_processing_impl.cc:1909-1930).
                 echo_control = factory.create(cap_rate, ren_channels, cap_ch)
             else:
-                acfg = aec3_cfg or (
-                    aec3_config.create_default_multichannel_config()
-                    if (config.pipeline.multi_channel_capture
-                        and num_capture_channels > 1)
-                    else aec3_config.EchoCanceller3Config()
+                # Mono/multichannel config selection
+                # (audio_processing_impl.cc:1928-1944 + config_selector.cc):
+                # a default multichannel config exists only when the user set
+                # no config; it activates when the render side carries proper
+                # stereo — immediately if detection is off, else when the
+                # content detector reports it (aec3_stereo_content, tracked
+                # by the host across re-inits).
+                mono_cfg = aec3_cfg or aec3_config.EchoCanceller3Config()
+                mc_cfg = (None if aec3_cfg is not None
+                          else aec3_config.create_default_multichannel_config())
+                detect = mono_cfg.multi_channel.detect_stereo_content
+                stereo_proc = ren_channels > 1 and (
+                    (not detect) or aec3_stereo_content
                 )
+                dynamic_stereo = ren_channels > 1 and detect
+                from webrtc_audio_processing_tpu.models.aec3 import (
+                    multi_channel_content_detector as _mccd,
+                )
+                active_cfg = _mccd.select_config(mono_cfg, mc_cfg, stereo_proc)
+                # Validate/clamp the tuning tree (echo_canceller3.cc:752-757
+                # runs Validate after AdjustConfig).
+                active_cfg, _valid = aec3_config.validate(active_cfg)
                 aec_geo = ec3.Aec3Geometry.create(
-                    acfg, cap_rate, ren_channels, cap_ch,
+                    active_cfg, cap_rate,
+                    ren_channels if stereo_proc else 1, cap_ch,
                     nree=nree, debug_taps=debug_taps,
                 )
 
@@ -173,6 +204,7 @@ class ApmGeometry:
             aecm=aecm_geo,
             injections=injections,
             echo_control=echo_control,
+            aec3_dynamic_stereo=dynamic_stereo,
         )
 
     @property
@@ -242,6 +274,13 @@ class ApmState:
     output_rms: rms_level.RmsLevelState
     frame_parity: jnp.ndarray  # () int32 — informational; parity is static
     was_stream_delay_set: jnp.ndarray  # () bool
+    # Ring of the last second of AEC3 delay estimates (one per 10 ms frame,
+    # most-recent last) feeding AudioProcessingStats.delay_median_ms /
+    # delay_standard_deviation_ms — fields the reference impl declares but
+    # leaves to alternative backends (audio_processing_statistics.h:54-55,
+    # rust_audio_processing.cc:335-339). None without AEC3.
+    delay_history_ms: jnp.ndarray | None = None  # (100,) int32
+    delay_history_valid: jnp.ndarray | None = None  # (100,) bool
     # Injected-component state pytrees (builder.Injections seams).
     custom_render_pre: object | None = None
     custom_capture_post: object | None = None
@@ -384,6 +423,10 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
         output_rms=rms_level.init_state(),
         frame_parity=jnp.asarray(0, jnp.int32),
         was_stream_delay_set=jnp.asarray(False),
+        delay_history_ms=(jnp.zeros((100,), jnp.int32)
+                          if geo.aec3 is not None else None),
+        delay_history_valid=(jnp.zeros((100,), bool)
+                             if geo.aec3 is not None else None),
         custom_render_pre=(
             inj.render_pre_processing.init(geo.render_processing_rate,
                                            geo.render_processing_channels)
@@ -403,6 +446,76 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
     )
 
 
+def process_render_stream(geo: ApmGeometry, state: ApmState, render_frame):
+    """Render half (ProcessRenderStreamLocked, audio_processing_impl.cc
+    :1653-1687): pre-process, analyze, band-split, queue for the capture-side
+    consumers, and produce the processed render output (the reference's
+    AudioConverter path, :1594-1605).
+
+    Returns (state, render_out, render_bands); ``render_bands`` is the
+    split-band render signal to hand to ``process_capture_stream``.
+    """
+    ren_cfg = geo.render_buffer_config()
+    inj = geo.injections
+
+    rbuf, r = audio_buffer.copy_from(ren_cfg, state.render_buffer,
+                                     render_frame)
+    # Injected render pre-processor (:1659-1661) ahead of any render
+    # consumer, as in the reference.
+    if inj is not None and inj.render_pre_processing is not None:
+        cp_state, r = inj.render_pre_processing.process(
+            state.custom_render_pre, r
+        )
+        state = state.replace(custom_render_pre=cp_state)
+    # Echo detector render analysis (QueueNonbandedRenderAudio, :1663).
+    if state.ed is not None:
+        state = state.replace(
+            ed=_ed_module(geo).analyze_render_audio(state.ed, r)
+        )
+    if ren_cfg.num_bands > 1:
+        rbuf, render_bands = audio_buffer.split_into_frequency_bands(
+            ren_cfg, rbuf, r
+        )
+    else:
+        render_bands = r[None]
+    # AGC1 far-end analysis from the packed mono band-0 render
+    # (QueueBandedRenderAudio :1671, GainControlImpl::PackRenderAudioBuffer).
+    if state.agc1 is not None:
+        agc1_cfg = _agc1_config(geo)
+        # Per-sample int16 rounding before the integer channel average
+        # (PackRenderAudioBuffer, gain_control_impl.cc:130-142).
+        s16 = _to_s16(render_bands[0])  # (N, C_ren)
+        ssum = jnp.sum(s16, axis=-1)
+        n_ch = render_bands.shape[-1]
+        far = jnp.sign(ssum) * (jnp.abs(ssum) // n_ch)
+        state = state.replace(
+            agc1=gc1.process_render_audio(agc1_cfg, state.agc1, far)
+        )
+    # AECM far-end buffering: canceller (i, j) receives render channel
+    # j's band 0 in int16, capture-major handle order
+    # (EchoControlMobileImpl::PackRenderAudioBuffer, :131-156).
+    if state.aecm is not None:
+        far = _to_s16(render_bands[0])  # (N, C_ren)
+        far_per = jnp.tile(
+            far.T, (geo.capture_processing_channels, 1)
+        )
+        state = state.replace(
+            aecm=jax.vmap(ecm.buffer_farend)(state.aecm, far_per)
+        )
+    # Render output: merge of the (possibly pre-processed) bands, converted
+    # back to the render output format — the reference's
+    # AudioConverter::Convert / CopyTo path (:1594-1605).
+    if ren_cfg.num_bands > 1:
+        rbuf, r_merged = audio_buffer.merge_frequency_bands(
+            ren_cfg, rbuf, render_bands
+        )
+    else:
+        r_merged = r
+    rbuf, render_out = audio_buffer.copy_to(ren_cfg, rbuf, r_merged)
+    state = state.replace(render_buffer=rbuf)
+    return state, render_out, render_bands
+
+
 def process_stream_pair(
     geo: ApmGeometry,
     state: ApmState,
@@ -415,6 +528,8 @@ def process_stream_pair(
     #           when AEC3 runs. Must be an unbatched scalar under vmap and
     #           advance by 2 (even parity) / 3 (odd parity) each frame
     #           (see aec3/render_buffer.py).
+    render_bands=None,  # pre-banded render from process_render_stream; set
+    #           when the render half already ran for this frame.
 ):
     """One paired 10 ms step: render analysis + capture processing.
 
@@ -425,67 +540,16 @@ def process_stream_pair(
     """
     c = geo.config
     cap_cfg = geo.capture_buffer_config()
-    ren_cfg = geo.render_buffer_config()
 
     stats = {}
 
     # ---------------- Render side (ProcessRenderStreamLocked :1653-1687).
-    render_bands = None
     render_out = render_frame
     inj = geo.injections
-    if render_frame is not None:
-        rbuf, r = audio_buffer.copy_from(ren_cfg, state.render_buffer,
-                                         render_frame)
-        # Injected render pre-processor (:1659-1661) ahead of any render
-        # consumer, as in the reference.
-        if inj is not None and inj.render_pre_processing is not None:
-            cp_state, r = inj.render_pre_processing.process(
-                state.custom_render_pre, r
-            )
-            state = state.replace(custom_render_pre=cp_state)
-        # Echo detector render analysis (QueueNonbandedRenderAudio, :1663).
-        if state.ed is not None:
-            state = state.replace(
-                ed=_ed_module(geo).analyze_render_audio(state.ed, r)
-            )
-        if ren_cfg.num_bands > 1:
-            rbuf, render_bands = audio_buffer.split_into_frequency_bands(
-                ren_cfg, rbuf, r
-            )
-        else:
-            render_bands = r[None]
-        # AGC1 far-end analysis from the packed mono band-0 render
-        # (QueueBandedRenderAudio :1671, GainControlImpl::PackRenderAudioBuffer).
-        if state.agc1 is not None:
-            agc1_cfg = _agc1_config(geo)
-            far = jnp.trunc(jnp.clip(jnp.mean(render_bands[0], axis=-1),
-                                     -32768.0, 32767.0)).astype(jnp.int32)
-            state = state.replace(
-                agc1=gc1.process_render_audio(agc1_cfg, state.agc1, far)
-            )
-        # AECM far-end buffering: canceller (i, j) receives render channel
-        # j's band 0 in int16, capture-major handle order
-        # (EchoControlMobileImpl::PackRenderAudioBuffer, :131-156).
-        if state.aecm is not None:
-            far = jnp.trunc(
-                jnp.clip(render_bands[0], -32768.0, 32767.0)
-            ).astype(jnp.int32)  # (N, C_ren)
-            far_per = jnp.tile(
-                far.T, (geo.capture_processing_channels, 1)
-            )
-            state = state.replace(
-                aecm=jax.vmap(ecm.buffer_farend)(state.aecm, far_per)
-            )
-        # Render output is pass-through (merge of unmodified bands) unless a
-        # custom render pre-processor exists.
-        if ren_cfg.num_bands > 1:
-            rbuf, r_merged = audio_buffer.merge_frequency_bands(
-                ren_cfg, rbuf, render_bands
-            )
-        else:
-            r_merged = r
-        rbuf, render_out = audio_buffer.copy_to(ren_cfg, rbuf, r_merged)
-        state = state.replace(render_buffer=rbuf)
+    if render_frame is not None and render_bands is None:
+        state, render_out, render_bands = process_render_stream(
+            geo, state, render_frame
+        )
 
     # ---------------- Capture side (ProcessCaptureStreamLocked :1264-1561).
     cbuf, y = audio_buffer.copy_from(cap_cfg, state.capture_buffer,
@@ -561,18 +625,17 @@ def process_stream_pair(
         new_hpf, b0 = hpf.process(state.hpf, bands[0], 16000)
         bands = bands.at[0].set(b0)
 
-    # AGC1 analyze (:1382-1385) in the int16 domain.
+    # AGC1 analyze (:1382-1385) in the int16 domain. The int16 exports are
+    # local copies: AnalyzeCaptureAudio's AddMic/VirtualMic modifications
+    # update AGC state only, never the audio path
+    # (gain_control_impl.cc:150-195 exports into stack buffers).
     new_agc1 = state.agc1
     agc1_cfg = None
     if state.agc1 is not None:
         agc1_cfg = _agc1_config(geo)
-        bands_i = jnp.trunc(jnp.clip(bands, -32768.0, 32767.0)).astype(
-            jnp.int32
+        new_agc1, _ = gc1.analyze_capture_audio(
+            agc1_cfg, state.agc1, _to_s16(bands)
         )
-        new_agc1, bands_i = gc1.analyze_capture_audio(
-            agc1_cfg, state.agc1, bands_i
-        )
-        bands = bands_i.astype(bands.dtype)
 
     # NS analyze (pre-AEC, :1387-1391).
     new_ns = state.ns
@@ -614,9 +677,7 @@ def process_stream_pair(
         c_ren = geo.render_processing_channels
         delay = (jnp.asarray(stream_delay_ms, jnp.int32)
                  * (ag.sample_rate_hz // 1000))
-        x = jnp.trunc(jnp.clip(bands[0], -32768.0, 32767.0)).astype(
-            jnp.int32
-        ).T  # (C_cap, N)
+        x = _to_s16(bands[0]).T  # (C_cap, N)
 
         def _one(s, xi):
             return ecm.process_frame(ag, s, xi, p, delay)
@@ -643,9 +704,7 @@ def process_stream_pair(
     agc1_table = None
     if state.agc_mgr is not None:
         agc = c.gain_controller1.analog_gain_controller
-        b0_i = jnp.trunc(jnp.clip(bands[0], -32768.0, 32767.0)).astype(
-            jnp.int32
-        )
+        b0_i = _to_s16(bands[0])
         new_agc_mgr, rec_vol, compression, vp = amd.process(
             new_agc_mgr, b0_i, parity % 3,
             clipped_level_min=agc.clipped_level_min,
@@ -660,16 +719,17 @@ def process_stream_pair(
             jnp.clip(compression, 0, 18)
         ]
 
-    # AGC1 process (:1438-1442).
+    # AGC1 process (:1438-1442): Analyze on a fresh int16 export, then the
+    # impl's float ApplyDigitalGain on the float bands
+    # (gain_control_impl.cc:197-258 — the int16 data is analysis-only).
     if new_agc1 is not None:
-        bands_i = jnp.trunc(jnp.clip(bands, -32768.0, 32767.0)).astype(
-            jnp.int32
-        )
-        new_agc1, bands_i = gc1.process_capture_audio(
-            agc1_cfg, new_agc1, bands_i, jnp.asarray(False),
+        new_agc1, _ = gc1.process_capture_audio(
+            agc1_cfg, new_agc1, _to_s16(bands), jnp.asarray(False),
             gain_table=agc1_table,
         )
-        bands = bands_i.astype(bands.dtype)
+        bands = gc1.apply_digital_gain_float(
+            gc1.shared_gains(new_agc1), bands
+        )
         if state.agc_mgr is None:
             stats["agc1_recommended_level"] = new_agc1.analog_level
         stats["agc1_saturation_warning"] = new_agc1.saturation_warning
@@ -747,6 +807,12 @@ def process_stream_pair(
 
     if new_aec is not None:
         stats.update(ec3.get_metrics(geo.aec3, new_aec))
+        state = state.replace(
+            delay_history_ms=jnp.roll(state.delay_history_ms, -1)
+            .at[-1].set(jnp.asarray(stats["delay_ms"], jnp.int32)),
+            delay_history_valid=jnp.roll(state.delay_history_valid, -1)
+            .at[-1].set(jnp.asarray(stats["aec3_external_delay_valid"])),
+        )
     elif new_echo_control is not None:
         stats.update(geo.echo_control.get_metrics(new_echo_control))
     if linear_out is not None:

@@ -898,6 +898,12 @@ class AecStateState:
     convergence_seen: jnp.ndarray  # () bool
     # SaturationDetector.
     saturated_echo: jnp.ndarray  # () bool
+    # Stat only: 1-second EMA of the all-filters-diverged indicator
+    # (subtractor_output_analyzer.cc divergence condition). Feeds
+    # AudioProcessingStats.divergent_filter_fraction, which the reference
+    # impl declares but leaves to alternative backends to populate
+    # (audio_processing_statistics.h:45, rust_audio_processing.cc:333).
+    divergent_fraction: jnp.ndarray  # () float32
 
     subtractor_analyzer: SubtractorOutputAnalyzerState
     filter_analyzer: FilterAnalyzerState
@@ -932,6 +938,7 @@ def init_state(config: EchoCanceller3Config, num_capture: int,
         filter_update_blocks_since_start=jnp.asarray(0, jnp.int32),
         convergence_seen=jnp.asarray(False),
         saturated_echo=jnp.asarray(False),
+        divergent_fraction=jnp.asarray(0.0, jnp.float32),
         subtractor_analyzer=SubtractorOutputAnalyzerState(
             filters_converged=jnp.zeros((num_capture,), bool)
         ),
@@ -1178,7 +1185,12 @@ def update(
             filter_size_partitions,
         )
 
+    div_frac = state.divergent_fraction + (
+        all_div.astype(jnp.float32) - state.divergent_fraction
+    ) * (1.0 / BLOCKS_PER_SECOND)
+
     return state.replace(
+        divergent_fraction=div_frac,
         reverb_decay_est=rde_state,
         initial_state=still_initial,
         transition_triggered=transition,

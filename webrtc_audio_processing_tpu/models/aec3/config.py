@@ -307,3 +307,187 @@ def create_default_multichannel_config() -> EchoCanceller3Config:
             ),
         ),
     )
+
+
+# ---------------------------------------------------------------- validate
+
+def _mutable(obj):
+    """Nested frozen dataclass -> mutable namespace tree (for clamping)."""
+    import types as _types
+
+    if dataclasses.is_dataclass(obj):
+        ns = _types.SimpleNamespace(**{
+            f.name: _mutable(getattr(obj, f.name))
+            for f in dataclasses.fields(obj)
+        })
+        ns._dataclass_type = type(obj)
+        return ns
+    return obj
+
+
+def _frozen(ns):
+    import types as _types
+
+    if isinstance(ns, _types.SimpleNamespace):
+        t = ns._dataclass_type
+        kwargs = {k: _frozen(v) for k, v in vars(ns).items()
+                  if k != "_dataclass_type"}
+        return t(**kwargs)
+    return ns
+
+
+def validate(config: EchoCanceller3Config):
+    """EchoCanceller3Config::Validate (echo_canceller3_config.cc:102-283).
+
+    Clamps every tunable into its legal range. Returns
+    ``(validated_config, was_valid)`` — the reference mutates in place and
+    returns the flag; frozen dataclasses return a fresh tree instead.
+    """
+    import math
+
+    c = _mutable(config)
+    res = [True]
+
+    def limit(ns, name, lo, hi):
+        v = getattr(ns, name)
+        clamped = min(max(v, lo), hi)
+        if isinstance(v, float) and not math.isfinite(clamped):
+            clamped = lo
+        if v != clamped:
+            res[0] = False
+            setattr(ns, name, type(v)(clamped))
+
+    def floor_limit(ns, name, lo):
+        v = getattr(ns, name)
+        if v < lo:
+            res[0] = False
+            setattr(ns, name, type(v)(lo))
+
+    if c.delay.down_sampling_factor not in (4, 8):
+        c.delay.down_sampling_factor = 4
+        res[0] = False
+
+    limit(c.delay, "default_delay", 0, 5000)
+    limit(c.delay, "num_filters", 0, 5000)
+    limit(c.delay, "delay_headroom_samples", 0, 5000)
+    limit(c.delay, "hysteresis_limit_blocks", 0, 5000)
+    limit(c.delay, "fixed_capture_delay_samples", 0, 5000)
+    limit(c.delay, "delay_estimate_smoothing", 0.0, 1.0)
+    limit(c.delay, "delay_candidate_detection_threshold", 0.0, 1.0)
+    limit(c.delay.delay_selection_thresholds, "initial", 1, 250)
+    limit(c.delay.delay_selection_thresholds, "converged", 1, 250)
+
+    floor_limit(c.filter.refined, "length_blocks", 1)
+    limit(c.filter.refined, "leakage_converged", 0.0, 1000.0)
+    limit(c.filter.refined, "leakage_diverged", 0.0, 1000.0)
+    limit(c.filter.refined, "error_floor", 0.0, 1000.0)
+    limit(c.filter.refined, "error_ceil", 0.0, 100000000.0)
+    limit(c.filter.refined, "noise_gate", 0.0, 100000000.0)
+
+    floor_limit(c.filter.refined_initial, "length_blocks", 1)
+    limit(c.filter.refined_initial, "leakage_converged", 0.0, 1000.0)
+    limit(c.filter.refined_initial, "leakage_diverged", 0.0, 1000.0)
+    limit(c.filter.refined_initial, "error_floor", 0.0, 1000.0)
+    limit(c.filter.refined_initial, "error_ceil", 0.0, 100000000.0)
+    limit(c.filter.refined_initial, "noise_gate", 0.0, 100000000.0)
+
+    if c.filter.refined.length_blocks < c.filter.refined_initial.length_blocks:
+        c.filter.refined_initial.length_blocks = c.filter.refined.length_blocks
+        res[0] = False
+
+    floor_limit(c.filter.coarse, "length_blocks", 1)
+    limit(c.filter.coarse, "rate", 0.0, 1.0)
+    limit(c.filter.coarse, "noise_gate", 0.0, 100000000.0)
+
+    floor_limit(c.filter.coarse_initial, "length_blocks", 1)
+    limit(c.filter.coarse_initial, "rate", 0.0, 1.0)
+    limit(c.filter.coarse_initial, "noise_gate", 0.0, 100000000.0)
+
+    if c.filter.coarse.length_blocks < c.filter.coarse_initial.length_blocks:
+        c.filter.coarse_initial.length_blocks = c.filter.coarse.length_blocks
+        res[0] = False
+
+    limit(c.filter, "config_change_duration_blocks", 0, 100000)
+    limit(c.filter, "initial_state_seconds", 0.0, 100.0)
+    limit(c.filter, "coarse_reset_hangover_blocks", 0, 250000)
+
+    limit(c.erle, "min", 1.0, 100000.0)
+    limit(c.erle, "max_l", 1.0, 100000.0)
+    limit(c.erle, "max_h", 1.0, 100000.0)
+    if c.erle.min > c.erle.max_l or c.erle.min > c.erle.max_h:
+        c.erle.min = min(c.erle.max_l, c.erle.max_h)
+        res[0] = False
+    limit(c.erle, "num_sections", 1, c.filter.refined.length_blocks)
+
+    limit(c.ep_strength, "default_gain", 0.0, 1000000.0)
+    limit(c.ep_strength, "default_len", -1.0, 1.0)
+    limit(c.ep_strength, "nearend_len", -1.0, 1.0)
+
+    full_scale_power = 32768.0 * 32768.0
+    limit(c.echo_audibility, "low_render_limit", 0.0, full_scale_power)
+    limit(c.echo_audibility, "normal_render_limit", 0.0, full_scale_power)
+    limit(c.echo_audibility, "floor_power", 0.0, full_scale_power)
+    limit(c.echo_audibility, "audibility_threshold_lf", 0.0, full_scale_power)
+    limit(c.echo_audibility, "audibility_threshold_mf", 0.0, full_scale_power)
+    limit(c.echo_audibility, "audibility_threshold_hf", 0.0, full_scale_power)
+
+    limit(c.render_levels, "active_render_limit", 0.0, full_scale_power)
+    limit(c.render_levels, "poor_excitation_render_limit", 0.0,
+          full_scale_power)
+    limit(c.render_levels, "poor_excitation_render_limit_ds8", 0.0,
+          full_scale_power)
+
+    limit(c.echo_model, "noise_floor_hold", 0, 1000)
+    limit(c.echo_model, "min_noise_floor_power", 0.0, 2000000.0)
+    limit(c.echo_model, "stationary_gate_slope", 0.0, 1000000.0)
+    limit(c.echo_model, "noise_gate_power", 0.0, 1000000.0)
+    limit(c.echo_model, "noise_gate_slope", 0.0, 1000000.0)
+    limit(c.echo_model, "render_pre_window_size", 0, 100)
+    limit(c.echo_model, "render_post_window_size", 0, 100)
+
+    limit(c.comfort_noise, "noise_floor_dbfs", -200.0, 0.0)
+
+    limit(c.suppressor, "nearend_average_blocks", 1, 5000)
+    for tuning in (c.suppressor.normal_tuning, c.suppressor.nearend_tuning):
+        limit(tuning.mask_lf, "enr_transparent", 0.0, 100.0)
+        limit(tuning.mask_lf, "enr_suppress", 0.0, 100.0)
+        limit(tuning.mask_lf, "emr_transparent", 0.0, 100.0)
+        limit(tuning.mask_hf, "enr_transparent", 0.0, 100.0)
+        limit(tuning.mask_hf, "enr_suppress", 0.0, 100.0)
+        limit(tuning.mask_hf, "emr_transparent", 0.0, 100.0)
+        limit(tuning, "max_inc_factor", 0.0, 100.0)
+        limit(tuning, "max_dec_factor_lf", 0.0, 100.0)
+
+    limit(c.suppressor, "last_permanent_lf_smoothing_band", 0, 64)
+    limit(c.suppressor, "last_lf_smoothing_band", 0, 64)
+    limit(c.suppressor, "last_lf_band", 0, 63)
+    limit(c.suppressor, "first_hf_band", c.suppressor.last_lf_band + 1, 64)
+
+    dnd = c.suppressor.dominant_nearend_detection
+    limit(dnd, "enr_threshold", 0.0, 1000000.0)
+    limit(dnd, "snr_threshold", 0.0, 1000000.0)
+    limit(dnd, "hold_duration", 0, 10000)
+    limit(dnd, "trigger_threshold", 0, 10000)
+
+    snd = c.suppressor.subband_nearend_detection
+    limit(snd, "nearend_average_blocks", 1, 1024)
+    limit(snd.subband1, "low", 0, 65)
+    limit(snd.subband1, "high", snd.subband1.low, 65)
+    limit(snd.subband2, "low", 0, 65)
+    limit(snd.subband2, "high", snd.subband2.low, 65)
+    limit(snd, "nearend_threshold", 0.0, 1.0e24)
+    limit(snd, "snr_threshold", 0.0, 1.0e24)
+
+    hbs = c.suppressor.high_bands_suppression
+    limit(hbs, "enr_threshold", 0.0, 1000000.0)
+    limit(hbs, "max_gain_during_echo", 0.0, 1.0)
+    limit(hbs, "anti_howling_activation_threshold", 0.0, full_scale_power)
+    limit(hbs, "anti_howling_gain", 0.0, 1.0)
+
+    hfs = c.suppressor.high_frequency_suppression
+    limit(hfs, "limiting_gain_band", 1, 64)
+    limit(hfs, "bands_in_limiting_gain", 0, 64 - hfs.limiting_gain_band)
+
+    limit(c.suppressor, "floor_first_increase", 0.0, 1000000.0)
+
+    return _frozen(c), res[0]

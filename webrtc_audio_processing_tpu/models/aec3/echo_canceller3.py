@@ -118,6 +118,17 @@ def init_state(geo: Aec3Geometry) -> EchoCanceller3State:
     )
 
 
+def init_state_preserving_detector(
+    geo: Aec3Geometry, old_state: EchoCanceller3State
+) -> EchoCanceller3State:
+    """EchoCanceller3::Initialize() on a stereo-content flip
+    (echo_canceller3.cc:827-850 via :977-981): the block processor — delay
+    stack, render buffers, subtractor, remover — restarts under the newly
+    selected config/channel-count while the content detector state
+    persists."""
+    return init_state(geo).replace(mc_detector=old_state.mc_detector)
+
+
 def _split_blocks(frame, carry, parity: int):
     """FrameBlocker block extraction for one 160-sample frame.
 
@@ -287,6 +298,19 @@ def process_frame(
     )
     state = state.replace(mc_detector=mc_state, mc_config_changed=mc_changed)
 
+    # Mono fallback downmix (BufferRenderFrameContent via FillSubFrameView,
+    # echo_canceller3.cc:120-155): when the canceller operates mono on a
+    # multichannel render input, the reference averages the channels while
+    # temporary multichannel content is present and takes channel 0
+    # otherwise.
+    if render_frame.shape[-1] > geo.num_render_channels:
+        assert geo.num_render_channels == 1, (
+            "partial render downmix is not a reference behavior"
+        )
+        avg = jnp.mean(render_frame, axis=-1, keepdims=True)
+        ch0 = render_frame[..., :1]
+        render_frame = jnp.where(mc_state.temporary_detected, avg, ch0)
+
     # Render side: block and insert.
     r_blocks, r_carry = _split_blocks(render_frame, state.render_blocker_carry,
                                       parity)
@@ -350,6 +374,7 @@ def get_metrics(geo: Aec3Geometry, state: EchoCanceller3State):
         # echo_remover_metrics.cc / render_delay_controller_metrics.cc).
         "aec3_erl_time_domain": aec.erl.erl_time_domain,
         "aec3_erle_fullband_log2": jnp.mean(erle_log2),
+        "aec3_divergent_filter_fraction": aec.divergent_fraction,
         "aec3_usable_linear_estimate": aec.usable_linear_estimate,
         "aec3_saturated_capture": aec.capture_signal_saturation,
         "aec3_min_filter_delay": aec.min_filter_delay,

@@ -262,6 +262,88 @@ def add_mic(cfg: LegacyAgcConfig, state: AnalogAgcState, bands):
     )
 
 
+def virtual_mic(cfg: LegacyAgcConfig, state: AnalogAgcState, bands,
+                mic_level_in):
+    """WebRtcAgc_VirtualMic (analog_agc.cc:290-408), the adaptive-digital
+    front: low-level-signal detection, emulated mic gain from the virtual
+    gain/suppression tables (per-sample clip backoff), then AddMic.
+
+    bands: (num_bands, N) int32. Returns (state, bands, mic_level_out).
+    """
+    b0 = bands[0]
+    n = b0.shape[-1]
+
+    # Low-level-signal decision (:314-344): frame energy accumulated only
+    # while below the limit, plus zero crossings. Summands are capped at
+    # 2^23 so the int32 cumsum cannot overflow; the cap is far above the
+    # limit, so the first-crossing index and every comparison below are
+    # unchanged (accumulation stops at the crossing in the reference too —
+    # "the correct value of the energy is not important").
+    limit = jnp.asarray(5500 if cfg.fs == 8000 else 11000, jnp.int32)
+    sq = jnp.minimum(b0 * b0, 1 << 23)
+    c = jnp.cumsum(sq)
+    hit = c >= limit
+    k = jnp.where(jnp.any(hit), jnp.argmax(hit), n - 1)
+    frame_nrg = c[k]
+    zc = jnp.sum(((b0[1:] ^ b0[:-1]) < 0).astype(jnp.int32))
+    low = jnp.where(
+        (frame_nrg < 500) | (zc <= 5), True,
+        jnp.where(
+            zc <= 15, False,
+            jnp.where(frame_nrg <= limit, True, zc >= 20),
+        ),
+    )
+
+    # Restart on physical-level change (:345-358).
+    mic_level_tmp = jnp.asarray(mic_level_in, jnp.int32) << cfg.scale
+    restart = mic_level_tmp != state.mic_ref
+    mic_vol = jnp.where(restart, 127, state.mic_vol)
+    gain_idx = jnp.where(
+        restart, 127, jnp.minimum(mic_vol, cfg.max_analog)
+    )
+
+    gain_tab = jnp.asarray(GAIN_TABLE_VIRTUAL_MIC, jnp.int32)
+    supp_tab = jnp.asarray(SUPPRESSION_TABLE_VIRTUAL_MIC, jnp.int32)
+
+    gain0 = jnp.where(
+        gain_idx > 127, gain_tab[jnp.clip(gain_idx - 128, 0, 127)],
+        supp_tab[jnp.clip(127 - gain_idx, 0, 127)],
+    )
+
+    def lookup_after_clip(g):
+        # The reference uses `gainIdx - 127` after a clip (:370-384) —
+        # deliberately reproduced, off-by-one and all.
+        return jnp.where(
+            g >= 127, gain_tab[jnp.clip(g - 127, 0, 127)],
+            supp_tab[jnp.clip(127 - g, 0, 127)],
+        )
+
+    def step(carry, x):
+        g_idx, g = carry
+        x0 = x[0]
+        t = (x0 * g) >> 10
+        clipped = (t > 32767) | (t < -32768)
+        t = jnp.clip(t, -32768, 32767)
+        g_idx = g_idx - clipped.astype(jnp.int32)
+        g = jnp.where(clipped, lookup_after_clip(g_idx), g)
+        # Upper bands use the (possibly backed-off) gain of this sample.
+        rest = jnp.clip((x[1:] * g) >> 10, -32768, 32767)
+        return (g_idx, g), jnp.concatenate([t[None], rest])
+
+    (gain_idx, _), out = jax.lax.scan(step, (gain_idx, gain0), bands.T)
+    bands = out.T
+
+    state = state.replace(
+        low_level_signal=low,
+        mic_ref=mic_level_tmp,
+        mic_vol=mic_vol,
+        mic_gain_idx=gain_idx,
+    )
+    mic_level_out = gain_idx >> cfg.scale
+    state, bands = add_mic(cfg, state, bands)
+    return state, bands, mic_level_out
+
+
 def process_analog(cfg: LegacyAgcConfig, state: AnalogAgcState,
                    in_mic_level, echo):
     """WebRtcAgc_ProcessAnalog (analog_agc.cc:527-900).

@@ -336,12 +336,12 @@ def compute_digital_gains(state: DigitalAgcState, band0, agc_mode: int,
 
     def gain_step(carry, e):
         cap_fast, cap_slow = carry
-        cap_fast = spl.scalediff32(-1000, cap_fast, cap_fast)
+        cap_fast = spl.agc_scalediff32(-1000, cap_fast, cap_fast)
         cap_fast = jnp.maximum(cap_fast, e)
         cap_slow = jnp.where(
             e > cap_slow,
-            spl.scalediff32(500, e - cap_slow, cap_slow),
-            spl.scalediff32(decay, cap_slow, cap_slow),
+            spl.agc_scalediff32(500, e - cap_slow, cap_slow),
+            spl.agc_scalediff32(decay, cap_slow, cap_slow),
         )
         cur = jnp.maximum(cap_fast, cap_slow)
         zeros = jnp.where(cur == 0, 31, spl.norm_u32(cur))

@@ -46,6 +46,7 @@ class GainControlState:
     agcs: analog.AnalogAgcState  # vmapped over capture channels
     gains: jnp.ndarray  # (C, 11) int32 — from Analyze, used by Process
     analog_level: jnp.ndarray  # () int32 shared recommended level
+    capture_levels: jnp.ndarray  # (C,) int32 per-channel level loop
     saturation_warning: jnp.ndarray  # () bool
 
 
@@ -59,6 +60,7 @@ def init_state(cfg: analog.LegacyAgcConfig, num_channels: int,
         agcs=agcs,
         gains=jnp.zeros((num_channels, 11), jnp.int32),
         analog_level=jnp.asarray(initial_level, jnp.int32),
+        capture_levels=jnp.full((num_channels,), initial_level, jnp.int32),
         saturation_warning=jnp.asarray(False),
     )
 
@@ -77,18 +79,32 @@ def process_render_audio(cfg: analog.LegacyAgcConfig,
 
 def analyze_capture_audio(cfg: analog.LegacyAgcConfig,
                           state: GainControlState, bands):
-    """AnalyzeCaptureAudio: AddMic (adaptive analog) or VirtualMic.
+    """AnalyzeCaptureAudio (gain_control_impl.cc:148-195): AddMic in
+    adaptive analog, VirtualMic in adaptive digital, nothing in fixed
+    digital mode.
 
     bands: (num_bands, N, C) int32. Returns (state, possibly-modified bands).
     """
     x = jnp.moveaxis(bands, -1, 0)  # (C, B, N)
 
-    def one(st, xb):
-        return analog.add_mic(cfg, st, xb)
+    if cfg.agc_mode == digital.AGC_MODE_ADAPTIVE_ANALOG:
+        # capture_levels_[ch] = analog_capture_level_ (:163).
+        def one(st, xb):
+            return analog.add_mic(cfg, st, xb)
 
-    agcs, xb = jax.vmap(one)(state.agcs, x)
+        agcs, xb = jax.vmap(one)(state.agcs, x)
+        levels = jnp.broadcast_to(
+            state.analog_level, state.capture_levels.shape
+        )
+    elif cfg.agc_mode == digital.AGC_MODE_ADAPTIVE_DIGITAL:
+        def one(st, xb):
+            return analog.virtual_mic(cfg, st, xb, state.analog_level)
+
+        agcs, xb, levels = jax.vmap(one)(state.agcs, x)
+    else:  # fixed digital: no analysis stage
+        return state, bands
     return (
-        state.replace(agcs=agcs),
+        state.replace(agcs=agcs, capture_levels=levels),
         jnp.moveaxis(xb, 0, -1),
     )
 
@@ -105,22 +121,30 @@ def process_capture_audio(cfg: analog.LegacyAgcConfig,
     echo = jnp.asarray(stream_has_echo, jnp.int32)
 
     def one(st, xb, lvl):
-        st, gains, out_lvl, warn = analog.analyze(
-            cfg, st, xb, lvl, echo, gain_table=gain_table
-        )
-        y = analog.process(gains, xb)
-        return st, y, out_lvl, warn
+        return analog.analyze(cfg, st, xb, lvl, echo,
+                              gain_table=gain_table)
 
-    agcs, y, levels, warns = jax.vmap(one, in_axes=(0, 0, None))(
-        state.agcs, x, state.analog_level
+    agcs, gains_all, levels, warns = jax.vmap(one)(
+        state.agcs, x, state.capture_levels
     )
-    # Channel arbitration: lowest recommended level wins
-    # (gain_control_impl.cc stream_analog_level aggregation).
-    new_level = jnp.min(levels)
+    # One gain trajectory is applied to every channel: the one with the
+    # largest end gain (gain_control_impl.cc:228-243).
+    apply_idx = jnp.argmax(gains_all[:, 10])
+    shared_gains = gains_all[apply_idx]
+    y = jax.vmap(lambda xb: analog.process(shared_gains, xb))(x)
+    # Analog-mode channel arbitration: lowest recommended level wins
+    # (gain_control_impl.cc:246-252); digital modes keep the user level.
+    new_level = (
+        jnp.min(levels)
+        if cfg.agc_mode == digital.AGC_MODE_ADAPTIVE_ANALOG
+        else state.analog_level
+    )
     return (
         state.replace(
             agcs=agcs,
+            gains=gains_all,
             analog_level=new_level,
+            capture_levels=levels,
             saturation_warning=jnp.any(warns),
         ),
         jnp.moveaxis(y, 0, -1),
@@ -128,4 +152,33 @@ def process_capture_audio(cfg: analog.LegacyAgcConfig,
 
 
 def set_stream_analog_level(state: GainControlState, level):
-    return state.replace(analog_level=jnp.asarray(level, jnp.int32))
+    lvl = jnp.asarray(level, jnp.int32)
+    return state.replace(
+        analog_level=lvl,
+        capture_levels=jnp.broadcast_to(lvl, state.capture_levels.shape),
+    )
+
+
+def shared_gains(state: GainControlState):
+    """The per-frame gain trajectory applied to every channel: the channel
+    with the largest end gain wins (gain_control_impl.cc:228-236)."""
+    return state.gains[jnp.argmax(state.gains[:, 10])]
+
+
+def apply_digital_gain_float(gains, bands):
+    """GainControlImpl's float ApplyDigitalGain (gain_control_impl.cc:50-77):
+    Q16 gains interpolated over 16-sample subsections, applied to the float
+    split bands with clamping — NOT the legacy int WebRtcAgc_ApplyDigitalGains
+    path (the impl never calls WebRtcAgc_Process).
+
+    gains: (11,) int32; bands: (num_bands, N, C) float. N must be 160 (the
+    impl always runs bands at 16 kHz).
+    """
+    n = bands.shape[1]
+    sub = n // 10  # 16 samples per subsection
+    g = gains.astype(jnp.float32) * (1.0 / 65536.0)
+    delta = (g[1:] - g[:10]) * (1.0 / 16.0)  # per-subsection slope
+    steps = jnp.arange(sub, dtype=jnp.float32)
+    per_sample = (g[:10, None] + delta[:, None] * steps[None, :]).reshape(-1)
+    out = bands * per_sample[None, :, None]
+    return jnp.clip(out, -32768.0, 32767.0)

@@ -48,17 +48,29 @@ def init_state(batch_shape=(), dtype=jnp.float32):
 def _allpass_chain(x, coefs, state):
     """Cascade of three first-order all-pass sections.
 
-    ``y[n] = x[n-1] + a * (x[n] - y[n-1]) = -a y[n-1] + (x[n-1] + a x[n])``
-    (splitting_filter.c:54-131). ``state`` is (3, 2, ...) of (x[-1], y[-1]).
+    ``y[n] = x[n-1] + a * (x[n] - y[n-1])`` (splitting_filter.c:54-131),
+    evaluated with the reference's exact operation order — one fused
+    sequential step per sample — so outputs are float-bit-exact with the C
+    (the associative-scan form reassociates the rounding and drifts ~1 LSB
+    over the reference harnesses' tolerance). ``state`` is (3, 2, ...) of
+    (x[-1], y[-1]) per section.
     """
+    import jax
+
     new_states = []
     sig = x
     for k, a in enumerate(coefs):
         x_prev = state[k, 0]
         y_prev = state[k, 1]
         x_shift = jnp.concatenate([x_prev[None], sig[:-1]], axis=0)
-        b = x_shift + a * sig
-        y = recurrence.affine_scan_1(jnp.asarray(-a, sig.dtype), b, y_prev)
+        a = jnp.asarray(a, sig.dtype)
+
+        def step(y_p, xx):
+            xp, xc = xx
+            y = xp + a * (xc - y_p)
+            return y, y
+
+        _, y = jax.lax.scan(step, y_prev, (x_shift, sig))
         new_states.append(jnp.stack([sig[-1], y[-1]], axis=0))
         sig = y
     return sig, jnp.stack(new_states, axis=0)

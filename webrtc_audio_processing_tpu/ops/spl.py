@@ -75,14 +75,34 @@ def mul_hi16(a, b16):
 
 
 def scalediff32(a16, b32, c32):
-    """WEBRTC_SPL_SCALEDIFF32(A,B,C) = C + (B>>16)*A + ((0xFFFF&B)*A >> 16)."""
+    """WEBRTC_SPL_SCALEDIFF32(A,B,C) = C + (B>>16)*A + ((0xFFFF&B)*A >> 16)
+    (spl_inl.h / resample_by_2.c MUL_ACCUM).
+
+    The low-part product is computed in C as ``(uint32_t)(0xFFFF & B) * A``
+    — unsigned 32-bit with wraparound — and shifted LOGICALLY. For
+    A >= 32768 (e.g. the resampler allpass coefficients 37471/49528/60255)
+    the product exceeds int32, so the unsigned wrap must be emulated.
+    NOT the same as digital_agc.cc's AGC_SCALEDIFF32, which is all-signed
+    (agc_scalediff32 below)."""
     a16 = _i32(a16)
     b32 = _i32(b32)
-    return _i32(c32) + (b32 >> 16) * a16 + (((b32 & 0xFFFF) * a16) >> 16)
+    lo = ((b32 & 0xFFFF).astype(jnp.uint32)
+          * a16.astype(jnp.uint32)) >> jnp.uint32(16)
+    return _i32(c32) + (b32 >> 16) * a16 + lo.astype(I32)
+
+
+def agc_scalediff32(a, b, c):
+    """AGC_SCALEDIFF32(A,B,C) = C + (B>>16)*A + ((0xFFFF&B)*A >> 16)
+    (digital_agc.cc:64-65) — all SIGNED int arithmetic, unlike the
+    resampler macro of the same shape."""
+    a = _i32(a)
+    b = _i32(b)
+    return _i32(c) + (b >> 16) * a + (((b & 0xFFFF) * a) >> 16)
 
 
 def agc_mul32(a, b):
-    """AGC_MUL32(A,B) = (B>>13)*A + ((0x1FFF & B)*A >> 13)."""
+    """AGC_MUL32(A,B) = (B>>13)*A + ((0x1FFF & B)*A >> 13)
+    (digital_agc.cc:61) — signed int arithmetic."""
     a = _i32(a)
     b = _i32(b)
     return (b >> 13) * a + (((b & 0x1FFF) * a) >> 13)
