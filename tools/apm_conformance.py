@@ -57,6 +57,9 @@ def run_config(sample_rate: int, num_channels: int, num_reverse: int,
         n_frames = min(n_frames, max_frames)
 
     c = cfg.Config().replace(
+        # EnableAllAPComponents sets the internal-rate cap to 48000
+        # (audio_processing_unittest.cc:152).
+        pipeline=cfg.Pipeline(maximum_internal_processing_rate=48000),
         echo_canceller=cfg.EchoCanceller(enabled=True, mobile_mode=False),
         gain_controller1=cfg.GainController1(
             enabled=True,

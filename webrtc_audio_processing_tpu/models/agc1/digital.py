@@ -220,27 +220,36 @@ def process_vad(state: AgcVadState, x):
     zeros = jnp.minimum(zeros, 31)
     dB = (15 - zeros) * (1 << 11)
 
-    counter = jnp.minimum(state.counter + 1, 250)
-    mean_st = (state.mean_short_term * 15 + dB) >> 4
+    def wrap_i16(v):
+        return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+    # The counter increments BEFORE the long-term updates (digital_agc.cc
+    # :646-649), which then scale by the incremented counter and divide by
+    # counter + 1.
+    counter = jnp.minimum(state.counter + 1, 250)  # kAvgDecayTime
+    mean_st = wrap_i16((state.mean_short_term * 15 + dB) >> 4)
     var_st = ((dB * dB) >> 12) + state.variance_short_term * 15
     var_st = var_st // 16
-    std_st = spl.sqrt_i32((var_st << 12) - mean_st * mean_st)
+    std_st = wrap_i16(spl.sqrt_i32((var_st << 12) - mean_st * mean_st))
 
-    mean_lt = spl.div_w32_w16(
-        state.mean_long_term * state.counter + dB, counter
-    )
+    mean_lt = wrap_i16(spl.div_w32_w16(
+        state.mean_long_term * counter + dB, counter + 1
+    ))
     var_lt = spl.div_w32_w16(
-        ((dB * dB) >> 12) + state.variance_long_term * state.counter, counter
+        ((dB * dB) >> 12) + state.variance_long_term * counter, counter + 1
     )
-    std_lt = spl.sqrt_i32((var_lt << 12) - mean_lt * mean_lt)
+    std_lt = wrap_i16(spl.sqrt_i32((var_lt << 12) - mean_lt * mean_lt))
 
-    tmp32 = (3 << 12) * (dB - mean_lt)
+    # (dB - meanLongTerm) is cast to int16 before the multiply — a wrap the
+    # reference keeps deliberately ("This is a bug, but has very little
+    # significance", digital_agc.cc:683-689): full-scale silence makes the
+    # difference overflow positive instead of saturating negative.
+    tmp32 = (3 << 12) * wrap_i16(dB - mean_lt)
     tmp32 = spl.div_w32_w16(tmp32, jnp.maximum(std_lt, 1))
-    tmp32b = spl.mul_hi16(state.log_ratio * (13 << 12), 1 << 16)  # identity
     tmp32b = state.log_ratio * (13 << 12)
     total = tmp32 + (tmp32b >> 10)
     total = total >> 6
-    log_ratio = jnp.clip(total, -2048, 2048)
+    log_ratio = wrap_i16(jnp.clip(total, -2048, 2048))
 
     return (
         state.replace(

@@ -31,11 +31,14 @@ class EchoDetectorState:
     rb_size: jnp.ndarray  # () int32
     frames_since_zero_size: jnp.ndarray  # () int32
     first_process_call: jnp.ndarray  # () bool
-    # Ring buffers of render statistics at each lookback delay.
+    # Shift buffers of render statistics at each lookback delay, newest at
+    # index 0 (the reference's ring + per-delay read loop collapses to an
+    # aligned shift: under vmap a per-stream ring index turns every read
+    # into a serialized per-stream gather — measured as ~70% of the 48 kHz
+    # full-APM step before this layout).
     render_power: jnp.ndarray  # (650,)
     render_power_mean: jnp.ndarray  # (650,)
     render_power_std: jnp.ndarray  # (650,)
-    next_insertion_index: jnp.ndarray  # () int32
     # MeanVarianceEstimators.
     render_mean: jnp.ndarray
     render_var: jnp.ndarray
@@ -62,7 +65,6 @@ def init_state(dtype=jnp.float32) -> EchoDetectorState:
         render_power=jnp.zeros((LOOKBACK_FRAMES,), dtype),
         render_power_mean=jnp.zeros((LOOKBACK_FRAMES,), dtype),
         render_power_std=jnp.zeros((LOOKBACK_FRAMES,), dtype),
-        next_insertion_index=jnp.asarray(0, jnp.int32),
         render_mean=z, render_var=z, capture_mean=z, capture_var=z,
         covariances=jnp.zeros((LOOKBACK_FRAMES,), dtype),
         echo_likelihood=z,
@@ -88,8 +90,10 @@ def analyze_render_audio(state: EchoDetectorState, render):
     rb_size = jnp.where(overflow, state.rb_size - 1, state.rb_size)
     frames = jnp.where(zero | overflow, 0, state.frames_since_zero_size) + 1
 
-    # Push.
-    buf = state.render_buffer.at[state.rb_next_insert].set(power)
+    # Push via one-hot blend (a per-stream dynamic scatter would serialize
+    # over the vmapped batch).
+    onehot = jnp.arange(RENDER_BUFFER_SIZE) == state.rb_next_insert
+    buf = jnp.where(onehot, power, state.render_buffer)
     return state.replace(
         render_buffer=buf,
         rb_next_insert=jnp.mod(state.rb_next_insert + 1, RENDER_BUFFER_SIZE),
@@ -106,11 +110,15 @@ def analyze_capture_audio(state: EchoDetectorState, capture):
     rb_size = jnp.where(state.first_process_call, 0, state.rb_size)
 
     has_render = rb_size > 0
-    # Pop the oldest (FIFO: oldest = next_insert - size mod N).
+    # Pop the oldest (FIFO: oldest = next_insert - size mod N); one-hot
+    # read instead of a per-stream dynamic gather.
     oldest = jnp.mod(
         state.rb_next_insert - rb_size, RENDER_BUFFER_SIZE
     )
-    render_power = state.render_buffer[oldest]
+    render_power = jnp.sum(
+        jnp.where(jnp.arange(RENDER_BUFFER_SIZE) == oldest,
+                  state.render_buffer, 0.0)
+    )
     rb_size = jnp.where(has_render, rb_size - 1, rb_size)
 
     # Render statistics (mean_variance_estimator.cc).
@@ -120,10 +128,11 @@ def analyze_capture_audio(state: EchoDetectorState, capture):
     ) ** 2
     r_std = jnp.sqrt(r_var)
 
-    idx = state.next_insertion_index
-    rp = state.render_power.at[idx].set(render_power)
-    rpm = state.render_power_mean.at[idx].set(r_mean)
-    rps = state.render_power_std.at[idx].set(r_std)
+    # Shift-insert: newest statistics at index 0, so entry d IS the value
+    # from d frames ago — the per-delay reads below become aligned lanes.
+    rp = jnp.concatenate([render_power[None], state.render_power[:-1]])
+    rpm = jnp.concatenate([r_mean[None], state.render_power_mean[:-1]])
+    rps = jnp.concatenate([r_std[None], state.render_power_std[:-1]])
 
     capture_power = jnp.mean(capture.reshape(-1) ** 2)
     c_mean = (1 - ALPHA) * state.capture_mean + ALPHA * capture_power
@@ -134,12 +143,10 @@ def analyze_capture_audio(state: EchoDetectorState, capture):
 
     # Covariance update across all 650 delays at once
     # (normalized_covariance_estimator.cc + the delay loop :95-109).
-    delays = jnp.arange(LOOKBACK_FRAMES)
-    read = jnp.mod(idx - delays, LOOKBACK_FRAMES)
     cov = (1 - ALPHA) * state.covariances + ALPHA * (
         capture_power - c_mean
-    ) * (rp[read] - rpm[read])
-    ncc = cov / (c_std * rps[read] + 1e-4)
+    ) * (rp - rpm)
+    ncc = cov / (c_std * rps + 1e-4)
     likelihood = jnp.maximum(jnp.max(ncc), 0.0)
 
     reliability = (1.0 - ALPHA) * state.reliability + ALPHA
@@ -165,7 +172,6 @@ def analyze_capture_audio(state: EchoDetectorState, capture):
         render_power=rp,
         render_power_mean=rpm,
         render_power_std=rps,
-        next_insertion_index=jnp.mod(idx + 1, LOOKBACK_FRAMES),
         render_mean=r_mean,
         render_var=r_var,
         capture_mean=c_mean,
