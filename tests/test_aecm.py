@@ -13,12 +13,13 @@ RNG = np.random.default_rng(3)
 
 
 def test_tables():
-    # kCosTable/kSinTable are round(8192*cos/sin(2*pi*k/360))
-    # (aecm_core.cc:64-117); spot values.
+    # kCosTable/kSinTable are the reference's legacy tables
+    # (aecm_core.cc:60-130) — NOT the analytic round(8192*cos/sin); peaks
+    # are 8191 and 175/360 cos entries differ by 1 LSB.
     cos = np.asarray(aecm_core.COS_TABLE)
     sin = np.asarray(aecm_core.SIN_TABLE)
     assert cos[0] == 8192 and sin[0] == 0
-    assert cos[90] == 0 and sin[90] == 8192
+    assert cos[90] == 0 and sin[90] == 8191
     assert abs(cos[60] - 4096) <= 1
     # Stored channel tables have the documented lengths and ranges.
     assert aecm_core.CHANNEL_STORED_8K.shape == (65,)

@@ -225,3 +225,58 @@ def test_agc1_bit_exact(suffix, rate, channels, mode):
     want_level = t["scalars"].get("kStreamAnalogLevelReference", 50)
     run_agc1_case(rate, channels, AGC_MODES[mode], 10, 50, 5, True, 0, 100,
                   want_level, want_output)
+
+
+class TestAecmGolden:
+    """echo_control_mobile_bit_exact_unittest.cc — the one enabled test,
+    Mono16kHz_LoudSpeakerPhone_CngOn_StreamDelay10 (:181-189).
+
+    The harness drives EchoControlMobileImpl with a fixed 10 ms stream
+    delay; tracing WebRtcAecm_Process + EstBufDelay with that input gives:
+    frames 0-5 passthrough (ECstartup; buffer stabilization needs
+    counter*nBlocks10ms >= 6), at frame 5 exit MoveReadPtr leaves
+    bufSizeStart=3 x 80-sample buffers (read ptr at abs far sample 720),
+    and from frame 6 on the far FIFO is read contiguously at a constant
+    240-sample lag (each sub-frame is read BEFORE EstBufDelay runs, so the
+    available count it sees is always 240 and delayNew=80 never triggers a
+    MoveReadPtr).  Verified per-block bit-exact against an instrumented
+    build of the reference core (all internal taps: energies, VAD, step
+    size, channel sums, hnl, efw, CNG seed, outCFFT).  Only the last frame
+    is compared, as in the reference test (the module carries memory, so
+    this implicitly validates all 200 frames).
+    """
+
+    def test_mono16k_loudspeaker_cng_delay10(self):
+        from webrtc_audio_processing_tpu.models.aecm import (
+            echo_control_mobile as ecm,
+        )
+
+        want = np.array([-0.002380, -0.002533, -0.002563], np.float32)
+        far = cv.read_stereo_pcm_frames(cv.render_file(16000), 160, 1, 200)
+        near = cv.read_stereo_pcm_frames(cv.capture_file(16000), 160, 1, 200)
+        far_i = np.round(far[:, :, 0] * 32768.0).astype(np.int32)
+        near_i = np.round(near[:, :, 0] * 32768.0).astype(np.int32)
+
+        geo = ecm.AecmGeometry(sample_rate_hz=16000, echo_mode=4,
+                               cng=True, nlp=True)
+        st = ecm.init_state(geo)
+
+        @jax.jit
+        def buf(st, f):
+            return ecm.buffer_farend(st, f)
+
+        steps = [
+            jax.jit(lambda st, n, d, p=p: ecm.process_frame(geo, st, n, p, d))
+            for p in range(geo.period)
+        ]
+
+        for k in range(6):  # startup passthrough frames
+            st = buf(st, jnp.asarray(far_i[k]))
+        out = None
+        for k in range(6, 200):
+            st = buf(st, jnp.asarray(far_i[k]))
+            st, out = steps[(k - 6) % geo.period](
+                st, jnp.asarray(near_i[k]), jnp.asarray(-720, jnp.int32)
+            )
+        got = np.asarray(out[:3]).astype(np.float32) / 32768.0
+        np.testing.assert_allclose(got, want, atol=TOL, rtol=0)

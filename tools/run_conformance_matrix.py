@@ -1,0 +1,59 @@
+"""Runs the full ApmTest.Process conformance matrix and reports pass/fail
+at the reference's own tolerances (audio_processing_unittest.cc:1812-1861:
+analog level +-1, max output +-7 absolute on non-bit-exact platforms).
+
+Usage: python tools/run_conformance_matrix.py [out.json] [max_frames]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from apm_conformance import golden_for, run_config  # noqa: E402
+
+RATES = (8000, 16000, 32000, 48000)
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/conformance_matrix.json"
+    max_frames = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    results = []
+    for rate in RATES:
+        for ch in (1, 2):
+            for rev in (1, 2):
+                t0 = time.time()
+                try:
+                    res = run_config(rate, ch, rev, max_frames=max_frames)
+                    g = golden_for(rate, ch, rev)
+                    row = dict(
+                        rate=rate, ch=ch, rev=rev, frames=res["frames"],
+                        analog=res["analog_level_average"],
+                        analog_golden=g.analog_level_average,
+                        max_out=res["max_output_average"],
+                        max_out_golden=g.max_output_average,
+                        analog_ok=abs(res["analog_level_average"]
+                                      - g.analog_level_average) <= 1,
+                        max_out_ok=abs(res["max_output_average"]
+                                       - g.max_output_average) <= 7,
+                        secs=round(time.time() - t0, 1),
+                    )
+                except Exception as e:  # keep going; record the failure
+                    row = dict(rate=rate, ch=ch, rev=rev,
+                               error=f"{type(e).__name__}: {e}",
+                               secs=round(time.time() - t0, 1))
+                results.append(row)
+                print(json.dumps(row), flush=True)
+                with open(out_path, "w") as f:
+                    json.dump(results, f, indent=1)
+    n_ok = sum(1 for r in results
+               if r.get("analog_ok") and r.get("max_out_ok"))
+    print(f"PASS {n_ok}/{len(results)} at reference tolerances")
+
+
+if __name__ == "__main__":
+    main()

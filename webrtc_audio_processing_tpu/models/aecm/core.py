@@ -5,11 +5,10 @@ utility/delay_estimator{_wrapper}.cc — 64-sample partitions, int16 FFT with
 dynamic Q, binary-spectrum delay estimation, NLMS channel update in
 Q(RESOLUTION_CHANNEL), Wiener-like NLP in Q14, comfort noise.
 
-Numerics note: all Q-domain arithmetic (channel update, energies, NLP,
-noise estimation, binary delay estimator) follows the reference integer
-semantics; the int16 radix-2 FFT itself is evaluated through a float FFT
-with matching scaling (the reference's per-stage rounding is the only
-deviation; the coarse Q-domains downstream make this inaudible).
+Numerics note: all arithmetic (channel update, energies, NLP, noise
+estimation, binary delay estimator, and the int16 radix-2 FFT via
+ops/int_fft.py with per-stage rounding and renormalization) follows the
+reference integer semantics bit-exactly.
 """
 
 from __future__ import annotations
@@ -19,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from webrtc_audio_processing_tpu.ops import spl
+from webrtc_audio_processing_tpu.ops import int_fft, spl
 
 PART_LEN = 64
 PART_LEN1 = 65
@@ -73,15 +72,92 @@ K_PROB_LOWER_LIMIT = 8704
 K_PROB_MIN_SPREAD = 2816
 K_MAX_BIT_COUNTS_Q9 = 32 << 9
 
-SQRT_HANNING = jnp.asarray(np.concatenate([
-    [0], np.round(np.sin(np.pi * np.arange(1, 65) / 128.0) * 16384)
-]).astype(np.int32))  # kSqrtHanning (aecm_core_c.cc:34-41)
+# kSqrtHanning (aecm_core_c.cc:35-41). The legacy table is NOT
+# round(16384*sin(pi*i/128)) — several entries are off by a few LSB from
+# the analytic curve, so the literal values are required for bit-exactness.
+SQRT_HANNING = jnp.asarray(np.array([
+    0, 399, 798, 1196, 1594, 1990, 2386, 2780, 3172, 3562, 3951,
+    4337, 4720, 5101, 5478, 5853, 6224, 6591, 6954, 7313, 7668, 8019,
+    8364, 8705, 9040, 9370, 9695, 10013, 10326, 10633, 10933, 11227, 11514,
+    11795, 12068, 12335, 12594, 12845, 13089, 13325, 13553, 13773, 13985,
+    14189, 14384, 14571, 14749, 14918, 15079, 15231, 15373, 15506, 15631,
+    15746, 15851, 15947, 16034, 16111, 16179, 16237, 16286, 16325, 16354,
+    16373, 16384], np.int32))
 
-_k = np.arange(360)
-COS_TABLE = jnp.asarray(np.round(8192 * np.cos(2 * np.pi * _k / 360)).astype(
-    np.int32))
-SIN_TABLE = jnp.asarray(np.round(8192 * np.sin(2 * np.pi * _k / 360)).astype(
-    np.int32))
+# kCosTable/kSinTable (aecm_core.cc:60-130). Legacy tables: 175 of
+# 360 entries differ by 1 LSB from round(8192*cos/sin) — literal
+# values required for bit-exactness.
+COS_TABLE = jnp.asarray(np.array([
+    8192, 8190, 8187, 8180, 8172, 8160, 8147, 8130, 8112, 8091, 8067,
+    8041, 8012, 7982, 7948, 7912, 7874, 7834, 7791, 7745, 7697, 7647,
+    7595, 7540, 7483, 7424, 7362, 7299, 7233, 7164, 7094, 7021, 6947,
+    6870, 6791, 6710, 6627, 6542, 6455, 6366, 6275, 6182, 6087, 5991,
+    5892, 5792, 5690, 5586, 5481, 5374, 5265, 5155, 5043, 4930, 4815,
+    4698, 4580, 4461, 4341, 4219, 4096, 3971, 3845, 3719, 3591, 3462,
+    3331, 3200, 3068, 2935, 2801, 2667, 2531, 2395, 2258, 2120, 1981,
+    1842, 1703, 1563, 1422, 1281, 1140, 998, 856, 713, 571, 428,
+    285, 142, 0, -142, -285, -428, -571, -713, -856, -998, -1140,
+    -1281, -1422, -1563, -1703, -1842, -1981, -2120, -2258, -2395, -2531, -2667,
+    -2801, -2935, -3068, -3200, -3331, -3462, -3591, -3719, -3845, -3971, -4095,
+    -4219, -4341, -4461, -4580, -4698, -4815, -4930, -5043, -5155, -5265, -5374,
+    -5481, -5586, -5690, -5792, -5892, -5991, -6087, -6182, -6275, -6366, -6455,
+    -6542, -6627, -6710, -6791, -6870, -6947, -7021, -7094, -7164, -7233, -7299,
+    -7362, -7424, -7483, -7540, -7595, -7647, -7697, -7745, -7791, -7834, -7874,
+    -7912, -7948, -7982, -8012, -8041, -8067, -8091, -8112, -8130, -8147, -8160,
+    -8172, -8180, -8187, -8190, -8191, -8190, -8187, -8180, -8172, -8160, -8147,
+    -8130, -8112, -8091, -8067, -8041, -8012, -7982, -7948, -7912, -7874, -7834,
+    -7791, -7745, -7697, -7647, -7595, -7540, -7483, -7424, -7362, -7299, -7233,
+    -7164, -7094, -7021, -6947, -6870, -6791, -6710, -6627, -6542, -6455, -6366,
+    -6275, -6182, -6087, -5991, -5892, -5792, -5690, -5586, -5481, -5374, -5265,
+    -5155, -5043, -4930, -4815, -4698, -4580, -4461, -4341, -4219, -4096, -3971,
+    -3845, -3719, -3591, -3462, -3331, -3200, -3068, -2935, -2801, -2667, -2531,
+    -2395, -2258, -2120, -1981, -1842, -1703, -1563, -1422, -1281, -1140, -998,
+    -856, -713, -571, -428, -285, -142, 0, 142, 285, 428, 571,
+    713, 856, 998, 1140, 1281, 1422, 1563, 1703, 1842, 1981, 2120,
+    2258, 2395, 2531, 2667, 2801, 2935, 3068, 3200, 3331, 3462, 3591,
+    3719, 3845, 3971, 4095, 4219, 4341, 4461, 4580, 4698, 4815, 4930,
+    5043, 5155, 5265, 5374, 5481, 5586, 5690, 5792, 5892, 5991, 6087,
+    6182, 6275, 6366, 6455, 6542, 6627, 6710, 6791, 6870, 6947, 7021,
+    7094, 7164, 7233, 7299, 7362, 7424, 7483, 7540, 7595, 7647, 7697,
+    7745, 7791, 7834, 7874, 7912, 7948, 7982, 8012, 8041, 8067, 8091,
+    8112, 8130, 8147, 8160, 8172, 8180, 8187, 8190,
+], np.int32))
+
+SIN_TABLE = jnp.asarray(np.array([
+    0, 142, 285, 428, 571, 713, 856, 998, 1140, 1281, 1422,
+    1563, 1703, 1842, 1981, 2120, 2258, 2395, 2531, 2667, 2801, 2935,
+    3068, 3200, 3331, 3462, 3591, 3719, 3845, 3971, 4095, 4219, 4341,
+    4461, 4580, 4698, 4815, 4930, 5043, 5155, 5265, 5374, 5481, 5586,
+    5690, 5792, 5892, 5991, 6087, 6182, 6275, 6366, 6455, 6542, 6627,
+    6710, 6791, 6870, 6947, 7021, 7094, 7164, 7233, 7299, 7362, 7424,
+    7483, 7540, 7595, 7647, 7697, 7745, 7791, 7834, 7874, 7912, 7948,
+    7982, 8012, 8041, 8067, 8091, 8112, 8130, 8147, 8160, 8172, 8180,
+    8187, 8190, 8191, 8190, 8187, 8180, 8172, 8160, 8147, 8130, 8112,
+    8091, 8067, 8041, 8012, 7982, 7948, 7912, 7874, 7834, 7791, 7745,
+    7697, 7647, 7595, 7540, 7483, 7424, 7362, 7299, 7233, 7164, 7094,
+    7021, 6947, 6870, 6791, 6710, 6627, 6542, 6455, 6366, 6275, 6182,
+    6087, 5991, 5892, 5792, 5690, 5586, 5481, 5374, 5265, 5155, 5043,
+    4930, 4815, 4698, 4580, 4461, 4341, 4219, 4096, 3971, 3845, 3719,
+    3591, 3462, 3331, 3200, 3068, 2935, 2801, 2667, 2531, 2395, 2258,
+    2120, 1981, 1842, 1703, 1563, 1422, 1281, 1140, 998, 856, 713,
+    571, 428, 285, 142, 0, -142, -285, -428, -571, -713, -856,
+    -998, -1140, -1281, -1422, -1563, -1703, -1842, -1981, -2120, -2258, -2395,
+    -2531, -2667, -2801, -2935, -3068, -3200, -3331, -3462, -3591, -3719, -3845,
+    -3971, -4095, -4219, -4341, -4461, -4580, -4698, -4815, -4930, -5043, -5155,
+    -5265, -5374, -5481, -5586, -5690, -5792, -5892, -5991, -6087, -6182, -6275,
+    -6366, -6455, -6542, -6627, -6710, -6791, -6870, -6947, -7021, -7094, -7164,
+    -7233, -7299, -7362, -7424, -7483, -7540, -7595, -7647, -7697, -7745, -7791,
+    -7834, -7874, -7912, -7948, -7982, -8012, -8041, -8067, -8091, -8112, -8130,
+    -8147, -8160, -8172, -8180, -8187, -8190, -8191, -8190, -8187, -8180, -8172,
+    -8160, -8147, -8130, -8112, -8091, -8067, -8041, -8012, -7982, -7948, -7912,
+    -7874, -7834, -7791, -7745, -7697, -7647, -7595, -7540, -7483, -7424, -7362,
+    -7299, -7233, -7164, -7094, -7021, -6947, -6870, -6791, -6710, -6627, -6542,
+    -6455, -6366, -6275, -6182, -6087, -5991, -5892, -5792, -5690, -5586, -5481,
+    -5374, -5265, -5155, -5043, -4930, -4815, -4698, -4580, -4461, -4341, -4219,
+    -4096, -3971, -3845, -3719, -3591, -3462, -3331, -3200, -3068, -2935, -2801,
+    -2667, -2531, -2395, -2258, -2120, -1981, -1842, -1703, -1563, -1422, -1281,
+    -1140, -998, -856, -713, -571, -428, -285, -142,
+], np.int32))
 
 CHANNEL_STORED_8K = np.array([
     2040, 1815, 1590, 1498, 1405, 1395, 1385, 1418, 1451, 1506, 1562,
@@ -356,7 +432,7 @@ def _log_of_energy_q8(energy, q_domain):
 
 
 def _time_to_frequency(buf):
-    """TimeToFrequencyDomain (aecm_core_c.cc:204-296) with float FFT.
+    """TimeToFrequencyDomain (aecm_core_c.cc:204-296), bit-exact.
 
     buf: (128,) int32. Returns (spec complex proxy as (re, im) int32 pair,
     abs (65,) int32, sum_abs, q_scaling).
@@ -366,11 +442,11 @@ def _time_to_frequency(buf):
     scaled = (buf << scaling).astype(jnp.int32)
     w = jnp.concatenate([SQRT_HANNING[:PART_LEN],
                          SQRT_HANNING[PART_LEN:0:-1]])
-    windowed = (scaled * w) >> 14
-    # Forward int FFT: ComplexFFT scales by 1/2 per stage (order 7 -> /128).
-    spec = jnp.fft.rfft(windowed.astype(jnp.float32)) / 128.0
-    re = jnp.round(spec.real).astype(jnp.int32)
-    im = jnp.round(-spec.imag).astype(jnp.int32)  # conjugate convention
+    windowed = int_fft._wrap16((scaled * w) >> 14)
+    # Forward int16 FFT (WebRtcSpl_RealForwardFFT), per-stage rounding and
+    # all; WindowAndFFT then conjugates (aecm_core_c.cc:196-199).
+    re, im = int_fft.real_forward_fft_i16(windowed)
+    im = int_fft._wrap16(-im)
     im = im.at[0].set(0).at[PART_LEN].set(0)
     # SqrtFloor(re^2 + im^2) with integer correction of the f32 estimate.
     sq = (re * re + im * im).astype(jnp.uint32)  # <= 2*32767^2 < 2^31
@@ -384,11 +460,13 @@ def _time_to_frequency(buf):
 
 def process_block(state: AecmCoreState, farend, nearend, mult: int,
                   echo_mode: int = 3, nlp: bool = True, cng: bool = True,
-                  fixed_delay: int = -1):
+                  fixed_delay: int = -1, debug_taps: dict | None = None):
     """WebRtcAecm_ProcessBlock (aecm_core_c.cc:306-580).
 
     farend, nearend: (64,) int32 int16-valued blocks.
-    Returns (state, output (64,) int32).
+    Returns (state, output (64,) int32). When `debug_taps` is a dict it is
+    filled with named internal signals (the AecDump-analog tap mode, same
+    names as the reference's AEC_DEBUG dumps) for conformance diffing.
     """
     startup = jnp.where(
         state.startup_state < 2,
@@ -659,7 +737,13 @@ def process_block(state: AecmCoreState, farend, nearend, mult: int,
     sup_gain = state.sup_gain + ((hold - state.sup_gain) >> 4)
 
     # --- Wiener-like NLP gain (aecm_core_c.cc:380-478).
-    echo_filt = state.echo_filt + (((echo_est - state.echo_filt) * 50) >> 8)
+    # (int64{diff} * 50) >> 8 without int64: split into high/low limbs
+    # (exact because diff == (diff>>8)*256 + (diff&255) in two's
+    # complement and the low term is non-negative).
+    ef_diff = echo_est - state.echo_filt
+    echo_filt = state.echo_filt + (
+        (ef_diff >> 8) * 50 + (((ef_diff & 255) * 50) >> 8)
+    )
     zeros32 = spl.norm_w32(echo_filt) + 1
     zeros16 = _norm_w16(sup_gain) + 1
     fits = zeros32 + zeros16 > 16
@@ -745,6 +829,19 @@ def process_block(state: AecmCoreState, farend, nearend, mult: int,
     efw_re = round14(dre, hnl)
     efw_im = round14(dim, hnl)
 
+    if debug_taps is not None:
+        debug_taps.update(
+            q=dfa_q, xq=x_q, delay=delay, mu=mu, sg=sup_gain,
+            vad=vad_value, ca16=jnp.sum(channel_adapt16),
+            ca32=jnp.sum(ch32.astype(jnp.int64)),
+            ef=jnp.sum(state.echo_filt), nf=jnp.sum(state.near_filt),
+            fle=far_log, ss=startup, dsum=dfa_sum, xsum=xfa_sum,
+            npc=num_pos, hsum=jnp.sum(hnl), h0=hnl[0], h1=hnl[1],
+            h8=hnl[8], h32=hnl[32], h64=hnl[64],
+            efw0=(efw_re[0], efw_im[0]), efw1=(efw_re[1], efw_im[1]),
+            efw8=(efw_re[8], efw_im[8]),
+        )
+
     # --- Comfort noise (aecm_core_c.cc:44-135).
     seed = state.seed
     noise_est = state.noise_est
@@ -771,8 +868,9 @@ def process_block(state: AecmCoreState, farend, nearend, mult: int,
         inc_high = jnp.where(dec, 0, inc_high)
         # At/above the estimate: ramp slowly upwards.
         tiny = (noise_est >> 11) <= 0
-        low_inc = jnp.where(~below & tiny, too_low + 1,
-                            jnp.where(below, too_low, 0))
+        # tooLowCtr: incremented only in the small-value ramp branch, reset
+        # on bump or when below; otherwise KEPT (aecm_core_c.cc:118-135).
+        low_inc = jnp.where(~below & tiny, too_low + 1, too_low)
         bump = ~below & tiny & (low_inc >= 5)
         noise_up = jnp.where(
             (noise_est >> 19) > 0,
@@ -812,23 +910,37 @@ def process_block(state: AecmCoreState, farend, nearend, mult: int,
         efw_re = jnp.clip(efw_re + u_re, -32768, 32767)
         efw_im = jnp.clip(efw_im + u_im, -32768, 32767)
 
-    # --- InverseFFTAndWindow (aecm_core_c.cc:158-202).
-    spec = efw_re.astype(jnp.float32) - 1j * efw_im.astype(jnp.float32)
-    ifft = jnp.fft.irfft(spec, PART_LEN2) * PART_LEN2  # unnormalized sum
-    # The C path scales by 2 (conjugate halves) relative to irfft and keeps
-    # outCFFT shifts that cancel against the Q-domain shift below.
-    win = SQRT_HANNING[:PART_LEN].astype(jnp.float32) / 16384.0
-    first = ifft[:PART_LEN] * win
-    second = ifft[PART_LEN:] * jnp.concatenate(
-        [SQRT_HANNING[PART_LEN:0:-1]]
-    ).astype(jnp.float32) / 16384.0
-    scale = 2.0 ** (-dfa_q.astype(jnp.float32))
-    out = jnp.clip(
-        jnp.round(first * scale) + state.outbuf, -32768, 32767
-    ).astype(jnp.int32)
-    outbuf = jnp.clip(jnp.round(second * scale), -32768, 32767).astype(
+    if debug_taps is not None:
+        debug_taps.update(
+            efwsum=(jnp.sum(efw_re), jnp.sum(efw_im)),
+            efw0c=(efw_re[0], efw_im[0]), efw8c=(efw_re[8], efw_im[8]),
+            seed=seed,
+        )
+
+    # --- InverseFFTAndWindow (aecm_core_c.cc:202-246), bit-exact: the
+    # synthesis input is the conjugate of efw, the int IFFT returns the
+    # accumulated renormalization count outCFFT, and the output is shifted
+    # by outCFFT - dfaCleanQDomain before overlap-add.
+    ifft, out_cfft = int_fft.real_inverse_fft_i16(
+        efw_re, int_fft._wrap16(-efw_im)
+    )
+    first = int_fft._wrap16(
+        (ifft[:PART_LEN] * SQRT_HANNING[:PART_LEN] + 8192) >> 14
+    )
+    qshift = out_cfft - dfa_q  # dfaCleanQDomain == dfaNoisyQDomain here
+
+    def shift_w32(x):
+        return jnp.where(qshift >= 0, x << qshift, x >> (-qshift))
+
+    out = jnp.clip(shift_w32(first) + state.outbuf, -32768, 32767).astype(
         jnp.int32
     )
+    second = (ifft[PART_LEN:] * SQRT_HANNING[PART_LEN:0:-1]) >> 14
+    outbuf = jnp.clip(shift_w32(second), -32768, 32767).astype(jnp.int32)
+
+    if debug_taps is not None:
+        debug_taps.update(outcfft=out_cfft, out03=out[:4],
+                          osum=jnp.sum(out))
 
     new_state = state.replace(
         xbuf=xbuf,

@@ -109,69 +109,99 @@ def buffer_farend(state: AecmState, far_frame) -> AecmState:
     )
 
 
+SUB = 80  # FRAME_LEN: the reference always rebuffers in 80-sample frames
+
+
 def process_frame(geo: AecmGeometry, state: AecmState, near_frame,
                   parity: int, delay_samples):
-    """One 10ms capture frame (WebRtcAecm_ProcessFrame, aecm_core.cc:1290).
+    """One 10ms capture frame (WebRtcAecm_Process enabled path,
+    echo_control_mobile.cc:364-403 + WebRtcAecm_ProcessFrame,
+    aecm_core.cc:1290-1360).
 
     near_frame: (frame_len,) int32 int16-valued; parity: static frame index
-    mod `geo.period`; delay_samples: () int32 known render-to-capture delay.
-    Returns (state, out_frame).
+    mod `geo.period`; delay_samples: () int32 known render-to-capture delay,
+    or (mult,) int32 for a per-80-sample-sub-frame delay (the reference's
+    EstBufDelay FIFO stuffing makes the two sub-frame reads non-contiguous
+    on the frame where it fires). Returns (state, out_frame).
+
+    The reference processes `mult` consecutive FRAME_LEN=80 sub-frames per
+    10 ms frame regardless of rate, each with its own 64-block rebuffering
+    and 80-sample output read with shortfall stuffing — that exact cadence
+    (including the three 16-sample stuffs after startup) is reproduced so
+    the output stream is sample-aligned with the reference's.
     """
     F = geo.frame_len
-    leftovers, blocks = geo.schedule
-    l_in = leftovers[parity]
-    n_blocks = blocks[parity]
-    l_out = (l_in + F) % aecm_core.PART_LEN
+    leftovers, blocks = _block_schedule(SUB)
 
     # Fetch the aligned far frame: the far samples that played exactly
     # `delay_samples` before the near samples now being consumed
-    # (FetchFarFrame, aecm_core.cc:1464-1500).
-    start = state.near_abs - delay_samples
-    idx = jnp.mod(start + jnp.arange(F), FAR_RING)
-    far_frame = jnp.where(
-        (start + jnp.arange(F)) >= 0, state.far_ring[idx], 0
-    )
-
-    near_cat = jnp.concatenate(
-        [state.near_leftover[:l_in], near_frame.astype(jnp.int32)]
-    )
-    far_cat = jnp.concatenate([state.far_leftover[:l_in], far_frame])
+    # (FetchFarFrame, aecm_core.cc:1464-1500, plus the render FIFO offset
+    # the reference establishes at startup exit).
+    ds = jnp.broadcast_to(jnp.asarray(delay_samples, jnp.int32), (geo.mult,))
+    subs = []
+    for s in range(geo.mult):
+        start = state.near_abs + s * SUB - ds[s]
+        pos = start + jnp.arange(SUB)
+        subs.append(
+            jnp.where(pos >= 0, state.far_ring[jnp.mod(pos, FAR_RING)], 0)
+        )
+    far_frame = jnp.concatenate(subs) if len(subs) > 1 else subs[0]
+    near_frame = near_frame.astype(jnp.int32)
 
     core = state.core
     out_ring = state.out_ring
     out_written = state.out_written
-    for b in range(n_blocks):
-        sl = slice(b * 64, (b + 1) * 64)
-        core, out_block = aecm_core.process_block(
-            core, far_cat[sl], near_cat[sl], geo.mult,
-            echo_mode=geo.echo_mode, nlp=geo.nlp, cng=geo.cng,
+    out_read = state.out_read
+    near_l = state.near_leftover
+    far_l = state.far_leftover
+    outs = []
+    for s in range(geo.mult):
+        sub_parity = (parity * geo.mult + s) % len(leftovers)
+        l_in = leftovers[sub_parity]
+        n_blocks = blocks[sub_parity]
+        l_out = (l_in + SUB) % aecm_core.PART_LEN
+        near_cat = jnp.concatenate(
+            [near_l[:l_in], near_frame[s * SUB:(s + 1) * SUB]]
         )
-        widx = jnp.mod(out_written + jnp.arange(64), OUT_RING)
-        out_ring = out_ring.at[widx].set(out_block)
-        out_written = out_written + 64
+        far_cat = jnp.concatenate(
+            [far_l[:l_in], far_frame[s * SUB:(s + 1) * SUB]]
+        )
+        for b in range(n_blocks):
+            sl = slice(b * 64, (b + 1) * 64)
+            core, out_block = aecm_core.process_block(
+                core, far_cat[sl], near_cat[sl], geo.mult,
+                echo_mode=geo.echo_mode, nlp=geo.nlp, cng=geo.cng,
+            )
+            widx = jnp.mod(out_written + jnp.arange(64), OUT_RING)
+            out_ring = out_ring.at[widx].set(out_block)
+            out_written = out_written + 64
 
-    # Output stuffing: if fewer than frame_len samples are available, move
-    # the read pointer back (into zero-initialized space on frame 0).
-    avail = out_written - state.out_read
-    out_read = jnp.where(avail < F, out_written - F, state.out_read)
-    ridx = jnp.mod(out_read + jnp.arange(F), OUT_RING)
-    out_frame = jnp.where((out_read + jnp.arange(F)) >= 0, out_ring[ridx], 0)
+        tail = n_blocks * aecm_core.PART_LEN
+        near_l = jnp.pad(near_cat[tail:], (0, 64 - l_out))
+        far_l = jnp.pad(far_cat[tail:], (0, 64 - l_out))
 
-    tail = n_blocks * aecm_core.PART_LEN
-    new_near_l = jnp.pad(near_cat[tail:], (0, 64 - l_out))
-    new_far_l = jnp.pad(far_cat[tail:], (0, 64 - l_out))
+        # Output stuffing per 80-sample sub-frame (aecm_core.cc:1345-1351):
+        # on shortfall the read pointer moves back, re-emitting ring
+        # history (zero-initialized space on the very first sub-frame).
+        avail = out_written - out_read
+        out_read = jnp.where(avail < SUB, out_written - SUB, out_read)
+        ridx = jnp.mod(out_read + jnp.arange(SUB), OUT_RING)
+        outs.append(
+            jnp.where((out_read + jnp.arange(SUB)) >= 0, out_ring[ridx], 0)
+        )
+        out_read = out_read + SUB
 
     return (
         state.replace(
             core=core,
-            near_leftover=new_near_l,
-            far_leftover=new_far_l,
+            near_leftover=near_l,
+            far_leftover=far_l,
             near_abs=state.near_abs + F,
             out_ring=out_ring,
             out_written=out_written,
-            out_read=out_read + F,
+            out_read=out_read,
         ),
-        out_frame,
+        jnp.concatenate(outs) if len(outs) > 1 else outs[0],
     )
 
 
