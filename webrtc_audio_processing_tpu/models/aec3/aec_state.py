@@ -140,6 +140,7 @@ def filter_analyzer_update(
     filter_size_samples,  # () int32: current filter length in samples
     geo: rb.BufferGeometry,
     buf: rb.RenderView,
+    blocks_win=None,  # optional (W, bands, 64, C_ren) lookback window
 ):
     """FilterAnalyzer::Update (filter_analyzer.cc:77-101) with the cyclic
     64-sample analysis region."""
@@ -211,13 +212,17 @@ def filter_analyzer_update(
     significant = jnp.where(finalize, new_significant, state.significant_peak)
 
     # Active render at the delay-aligned block.
-    aligned_idx = jnp.mod(
-        rb.b_read_index(geo, buf.state, buf.n) - filter_delays_blocks,
-        geo.num_blocks,
-    )  # (C,)
-    x_aligned = rb._take_rows(
-        buf.state.blocks, aligned_idx, geo.num_blocks
-    )[:, 0]  # (C, 64, C_ren)
+    if blocks_win is not None:
+        # filter_delays_blocks < refined length_blocks == the window size.
+        x_aligned = rb.window_row(blocks_win, filter_delays_blocks)[:, 0]
+    else:
+        aligned_idx = jnp.mod(
+            rb.b_read_index(geo, buf.state, buf.n) - filter_delays_blocks,
+            geo.num_blocks,
+        )  # (C,)
+        x_aligned = rb._take_rows(
+            buf.state.blocks, aligned_idx, geo.num_blocks
+        )[:, 0]  # (C, 64, C_ren)
     x_energy = jnp.sum(x_aligned**2, axis=1)  # (C, C_ren)
     active = jnp.any(
         x_energy
@@ -1015,10 +1020,16 @@ def update(
     E2_refined,  # (C, 65)
     Y2,  # (C, 65)
     sub_out,  # dict from subtractor.process
+    spec_win=None,  # optional (W, C, 65) spectra window at the read pos
+    blocks_win=None,  # optional (W, bands, 64, C_ren) lookback window
 ):
     """AecState::Update (aec_state.cc:179-299).
 
-    Returns the new state. Query helpers read fields directly.
+    Returns the new state. Query helpers read fields directly. The
+    optional materialized windows consolidate the ring reads: every
+    dynamic single-row read below is bounded by the refined filter length,
+    so one window read per block replaces several full-ring one-hot
+    contractions (each of which must touch the whole ring under vmap).
     """
     # Subtractor output analysis.
     sa, any_conv, any_coarse_conv, all_div = analyze_subtractor_output(
@@ -1030,6 +1041,7 @@ def update(
     fa, any_consistent, max_echo_path_gain = filter_analyzer_update(
         config, state.filter_analyzer, impulse_responses,
         filter_size_partitions * BLOCK_SIZE, geo, buf,
+        blocks_win=blocks_win,
     )
 
     # FilterDelay update (aec_state.cc:373-398).
@@ -1047,12 +1059,15 @@ def update(
     min_delay = jnp.min(filter_delays)
 
     # Active render counters (aec_state.cc:210-228).
-    aligned = rb._take_rows(
-        buf.state.blocks,
-        jnp.mod(rb.b_read_index(geo, buf.state, buf.n) - min_delay,
-                geo.num_blocks)[None],
-        geo.num_blocks,
-    )[0]
+    if blocks_win is not None:
+        aligned = rb.window_row(blocks_win, min_delay)
+    else:
+        aligned = rb._take_rows(
+            buf.state.blocks,
+            jnp.mod(rb.b_read_index(geo, buf.state, buf.n) - min_delay,
+                    geo.num_blocks)[None],
+            geo.num_blocks,
+        )[0]
     x_energy = jnp.sum(aligned[0] ** 2, axis=0)  # (C_ren,)
     active_render = jnp.any(
         x_energy > config.render_levels.active_render_limit**2 * BLOCK_SIZE
@@ -1069,10 +1084,14 @@ def update(
     # adaptive estimator when enabled (aec_state.cc:250 ReverbDecay(false)).
     decay = rde.decay_value(config, state.reverb_decay_est,
                             jnp.asarray(False))
-    X2_past = jnp.mean(rb.spectrum_at(geo, buf, min_delay + 1), axis=0)
+    X2_past = jnp.mean(
+        rb.window_row(spec_win, min_delay + 1) if spec_win is not None
+        else rb.spectrum_at(geo, buf, min_delay + 1), axis=0)
     reverb = reverb_update_no_shaping(state.avg_render_reverb, X2_past, 1.0,
                                       decay)
-    X2_at = jnp.mean(rb.spectrum_at(geo, buf, min_delay), axis=0)
+    X2_at = jnp.mean(
+        rb.window_row(spec_win, min_delay) if spec_win is not None
+        else rb.spectrum_at(geo, buf, min_delay), axis=0)
     X2_reverb = X2_at + reverb.reverb
 
     # EchoAudibility (aec_state.cc:253-257), only when the stationarity
@@ -1102,15 +1121,19 @@ def update(
     )
     X2_by_delay = None
     if config.erle.num_sections > 1:
+        P_ref = config.filter.refined.length_blocks
         X2_by_delay = jnp.mean(
-            rb.spectrum_window(geo, buf, config.filter.refined.length_blocks),
+            spec_win[:P_ref] if spec_win is not None
+            else rb.spectrum_window(geo, buf, P_ref),
             axis=1,
         )
     erle = erle_update(config, erle, X2_reverb, Y2, E2_refined,
                        sa.filters_converged, X2_by_delay,
                        frequency_responses)
-    erl = erl_update(state.erl, sa.filters_converged,
-                     rb.spectrum_at(geo, buf, min_delay), Y2)
+    erl = erl_update(
+        state.erl, sa.filters_converged,
+        rb.window_row(spec_win, min_delay) if spec_win is not None
+        else rb.spectrum_at(geo, buf, min_delay), Y2)
 
     # Saturation detection (aec_state.cc:439-470).
     usable_prev = state.usable_linear_estimate

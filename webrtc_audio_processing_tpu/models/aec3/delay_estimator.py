@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
@@ -332,17 +333,24 @@ def matched_filter_update(
         alpha_w = jnp.sum(
             jnp.where(row_oh, alphas, 0.0), axis=0
         )  # (sub,)
-        P0 = jnp.cumsum(
-            (h0_w[None, :] * xw_w).reshape(
-                sub, acc_chunks, ACC_ERR_RATE
-            ).sum(-1),
-            axis=-1,
+        # Prefix sums as triangular matmuls: jnp.cumsum over these small
+        # axes lowers to a multi-pass scan on TPU (~10x the bandwidth
+        # bound); a constant triangular contraction is a single MXU pass.
+        inclusive = jnp.asarray(
+            np.tril(np.ones((acc_chunks, acc_chunks), np.float32)).T
+        )  # [c, d] = 1 for c <= d
+        strict = jnp.asarray(
+            np.tril(np.ones((sub, sub), np.float32), k=-1)
+        )  # [s, t] = 1 for t < s
+        P0 = (
+            (h0_w[None, :] * xw_w).reshape(sub, acc_chunks, ACC_ERR_RATE)
+            .sum(-1) @ inclusive
         )  # (sub, chunks)
         wa = alpha_w[:, None] * xw_w
-        Wex = jnp.cumsum(wa, axis=0) - wa  # strict prefix over samples
-        PW = jnp.cumsum(
-            (Wex * xw_w).reshape(sub, acc_chunks, ACC_ERR_RATE).sum(-1),
-            axis=-1,
+        Wex = strict @ wa  # strict prefix over samples
+        PW = (
+            (Wex * xw_w).reshape(sub, acc_chunks, ACC_ERR_RATE).sum(-1)
+            @ inclusive
         )
         s_partial = P0 + PW
         inst_sel = jnp.sum((y[:, None] - s_partial) ** 2, axis=0)

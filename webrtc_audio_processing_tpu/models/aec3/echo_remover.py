@@ -167,15 +167,21 @@ def residual_echo_estimate(
     dominant_nearend,
     transparent_active,
     filter_length_blocks,  # () int32
+    spec_win=None,  # optional (W, C, 65) spectra window at the read pos
 ):
     """ResidualEchoEstimator::Estimate (residual_echo_estimator.cc:180-279).
 
     Returns (state, R2 (C,65), R2_unbounded (C,65)).
     """
+
+    def spec_at(off):
+        return (rb.window_row(spec_win, off) if spec_win is not None
+                else rb.spectrum_at(geo, buf, off))
+
     # UpdateRenderNoisePower (:287-320).
-    X2_now = jnp.sum(rb.spectrum_at(geo, buf, 0), axis=0)  # sum over channels
+    X2_now = jnp.sum(spec_at(0), axis=0)  # sum over channels
     if geo.num_channels == 1:
-        X2_now = rb.spectrum_at(geo, buf, 0)[0]
+        X2_now = spec_at(0)[0]
     lower = X2_now < state.X2_noise_floor
     inc = state.X2_noise_floor_counter >= config.echo_model.noise_floor_hold
     floor = jnp.where(
@@ -219,11 +225,9 @@ def residual_echo_estimate(
     offsets = jnp.arange(-(pre), post + 1)
     start = jnp.maximum(0, min_delay - pre)
     offs = jnp.clip(min_delay + offsets, start, min_delay + post)
-    window = jax.vmap(lambda o: jnp.sum(rb.spectrum_at(geo, buf, o), axis=0))(
-        offs
-    )  # (W, 65)
+    window = jnp.sum(spec_at(offs), axis=1)  # (W, 65)
     if geo.num_channels == 1:
-        window = jax.vmap(lambda o: rb.spectrum_at(geo, buf, o)[0])(offs)
+        window = spec_at(offs)[:, 0]
     X2 = jnp.max(window, axis=0)
     # ApplyNoiseGate (:105-113).
     ng_power = config.echo_model.noise_gate_power
@@ -251,9 +255,9 @@ def residual_echo_estimate(
     first_partition = jnp.where(
         usable, filter_length_blocks + 1, min_delay + 1
     )
-    render_power = jnp.sum(rb.spectrum_at(geo, buf, first_partition), axis=0)
+    render_power = jnp.sum(spec_at(first_partition), axis=0)
     if geo.num_channels == 1:
-        render_power = rb.spectrum_at(geo, buf, first_partition)[0]
+        render_power = spec_at(first_partition)[0]
 
     # kLinear path uses the tail frequency response of channel 0; nonlinear
     # uses the late-reflections gain.
@@ -782,11 +786,27 @@ def process_capture(
         supp_gain_state,
     )
 
-    # Linear echo cancellation.
+    # Linear echo cancellation. One consolidated spectra window serves
+    # every dynamic single-row read this block (offsets are bounded by the
+    # refined filter length + the echo-model post window; each separate
+    # spectrum_at costs a full-ring contraction under vmap).
     p_ref_max = sub_state.refined.H.shape[1]
+    # min_filter_delay is bounded by the filter length OR (before
+    # convergence, with an external delay) the delay headroom in blocks.
+    headroom_blocks = int(config.delay.delay_headroom_samples) // 64
+    delay_bound = max(config.filter.refined.length_blocks, headroom_blocks + 1)
+    spec_win_len = min(
+        max(p_ref_max, delay_bound + 2)
+        + max(config.echo_model.render_post_window_size, 1) + 1,
+        geo.num_blocks,
+    )
+    spec_win = rb.spectrum_window(geo, buf, spec_win_len)
+    blocks_win = rb.block_window_back(
+        geo, buf, min(delay_bound, geo.num_blocks)
+    )
     X_window = rb.fft_window(geo, buf, p_ref_max)
     # Spectral sums masked to the active partition counts.
-    spectra_win = rb.spectrum_window(geo, buf, p_ref_max)  # (P, C, 65)
+    spectra_win = spec_win[:p_ref_max]  # (P, C, 65)
     pidx = jnp.arange(p_ref_max)
     X2_refined = jnp.sum(
         jnp.where(
@@ -824,6 +844,7 @@ def process_capture(
         sub_state.refined_impulse_responses,
         sub_state.refined.current_size,
         E2, Y2, sub_out,
+        spec_win=spec_win, blocks_win=blocks_win,
     )
 
     nearend_spectrum = jnp.where(aec.usable_linear_estimate, E2, Y2)
@@ -840,6 +861,7 @@ def process_capture(
         config, state.residual, geo, buf, aec, S2_linear, Y2,
         state.supp_gain.dn_nearend_state, transparent,
         sub_state.refined.current_size,
+        spec_win=spec_win,
     )
     if nree is not None:
         # Injected neural residual-echo estimate replaces the model-based

@@ -580,6 +580,41 @@ def spectrum_at(geo: BufferGeometry, view: RenderView, offset):
     return _take_rows(view.state.spectra, idx[None], geo.num_blocks)[0]
 
 
+def block_window_back(geo: BufferGeometry, view: RenderView, W: int):
+    """Blocks at b_read_index - [0, W): the delay-aligned lookback rows.
+
+    One full-ring contraction serving every downstream aligned-block read
+    (each full read of the (L, bands, 64, C) ring costs ~L/W times the
+    traffic of the W rows actually needed)."""
+    idx = jnp.mod(
+        b_read_index(geo, view.state, view.n) - jnp.arange(W),
+        geo.num_blocks,
+    )
+    return _take_rows(view.state.blocks, idx, geo.num_blocks)
+
+
+def window_row(win, offset):
+    """Row `offset` of a materialized window, via a W-row one-hot.
+
+    `offset` may be per-stream dynamic (a gather would serialize under
+    vmap); it must lie in [0, W) — callers pick W from the config bounds
+    (filter length / echo-model window sizes). Bit-identical to reading
+    the ring directly: the one-hot sum touches exactly one nonzero row.
+    Supports a leading vector of offsets ((K,) -> (K, ...))."""
+    W = win.shape[0]
+    offset = jnp.asarray(offset)
+    oh_dtype = jnp.float32
+    oh = (
+        jnp.expand_dims(offset, -1) == jnp.arange(W)
+    ).astype(oh_dtype)
+    flat = win.reshape(W, -1)
+    if jnp.iscomplexobj(win):
+        out = (oh @ flat.real + 1j * (oh @ flat.imag)).astype(win.dtype)
+    else:
+        out = (oh @ flat.astype(oh_dtype)).astype(win.dtype)
+    return out.reshape(offset.shape + win.shape[1:])
+
+
 def block_at(geo: BufferGeometry, view: RenderView, offset: int = 0):
     """RenderBuffer::GetBlock(offset): (bands, 64, C)."""
     idx = jnp.mod(

@@ -27,12 +27,19 @@ TANSIG_TABLE = jnp.asarray(
 
 
 def tansig_approx(x):
-    """TansigApproximated (rnn_activations.h:36-96), vectorized."""
+    """TansigApproximated (rnn_activations.h:36-96), vectorized.
+
+    The table entry round(tanh(0.04 i), 6) is computed arithmetically
+    instead of gathered: a 201-entry per-element gather lowers to a slow
+    serialized access pattern on TPU, while tanh + round-to-1e-6 is pure
+    VPU work and matches the table to ~2 f32 ulps (the goldens assert
+    1e-4).
+    """
     sign = jnp.where(x < 0.0, -1.0, 1.0)
     ax = jnp.abs(x)
     i = jnp.floor(0.5 + 25.0 * jnp.minimum(ax, 8.0)).astype(jnp.int32)
     i = jnp.clip(i, 0, 200)
-    y = TANSIG_TABLE[i]
+    y = jnp.round(jnp.tanh(0.04 * i.astype(x.dtype)) * 1e6) * 1e-6
     xx = ax - 0.04 * i.astype(x.dtype)
     y = y + xx * (1.0 - y * y) * (1.0 - y * xx)
     out = sign * y

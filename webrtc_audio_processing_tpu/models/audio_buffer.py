@@ -132,9 +132,18 @@ def copy_to(cfg: BufferConfig, state: AudioBufferState, y):
     """
     x = jnp.clip(y, -32768.0, 32768.0) * (1.0 / 32768.0)
     if cfg.output_resampling:
+        # The pipeline may have narrowed to mono (set_num_channels after
+        # the band split, audio_processing_impl.cc:1365-1373): resample
+        # only the live channels; the extra per-channel resampler state
+        # columns go stale exactly like the reference's unused
+        # PushSincResampler instances.
+        st = state.output_resampler
+        ch = x.shape[-1]
         new_buf, x = resampler.resample_frame(
-            state.output_resampler, x, cfg.buffer_num_frames, cfg.output_num_frames
+            st[..., :ch], x, cfg.buffer_num_frames, cfg.output_num_frames
         )
+        if ch != st.shape[-1]:
+            new_buf = st.at[..., :ch].set(new_buf)
         state = state.replace(output_resampler=new_buf)
 
     extra = cfg.output_num_channels - x.shape[-1]
