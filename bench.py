@@ -63,9 +63,13 @@ def build_step(mode):
             adaptive_digital=cfg_mod.AdaptiveDigital(enabled=True),
         ),
     )
+    # aec3_stereo_content: for the stereo mode, measure the full
+    # multichannel AEC3 (the post-detection steady state, the north-star
+    # config) rather than the cheaper pre-detection mono-downmix phase.
     geo = apm.ApmGeometry.create(
         c, rate, cap_ch,
         render_input_rate=rate, num_render_channels=ren_ch,
+        aec3_stereo_content=ren_ch > 1,
     )
 
     def init():
@@ -139,18 +143,21 @@ def measure_streams(mode, budget_s, batch_sizes):
 
         state, y = step(state, frames, n0s_for(0))
         jax.block_until_ready(y)
-        # Fastest of several repeats: the remote attachment has intermittent
-        # multi-second stalls unrelated to device time.
-        best_dt = float("inf")
-        for rep in range(3):
+        # Median of repeats: the remote attachment has intermittent
+        # multi-second stalls (inflating a reading) AND occasional
+        # spuriously-fast returns from block_until_ready through the
+        # tunnel (deflating one) — the median rejects both.
+        dts = []
+        for rep in range(5):
             t0 = time.perf_counter()
             n_inflight = 2
             for j in range(n_inflight):
                 state, y = step(state, frames, n0s_for(rep * 8 + j + 1))
             jax.block_until_ready(y)
-            dt = (time.perf_counter() - t0) / (2 * CHUNK_PAIRS * n_inflight)
-            best_dt = min(best_dt, dt)
-        return best_dt
+            dts.append(
+                (time.perf_counter() - t0) / (2 * CHUNK_PAIRS * n_inflight)
+            )
+        return float(np.median(dts))
 
     t_start = time.perf_counter()
     best_streams = 0

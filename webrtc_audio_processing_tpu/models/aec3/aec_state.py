@@ -170,9 +170,10 @@ def filter_analyzer_update(
 
     # FindPeakIndex within the region, seeded with the previous peak (:25-40).
     prev_peak = jnp.minimum(state.peak_index, n_taps - 1)
-    prev_val = jnp.take_along_axis(
-        h_highpass**2, prev_peak[:, None], axis=-1
-    )[:, 0]
+    prev_val = jnp.sum(
+        jnp.where(taps[None, :] == prev_peak[:, None], h_highpass**2, 0.0),
+        axis=-1,
+    )  # one-hot read: per-channel dynamic gathers serialize under vmap
     region_vals = jnp.where(in_region[None, :], h_highpass**2, -1.0)
     region_arg = jnp.argmax(region_vals, axis=-1).astype(jnp.int32)
     region_max = jnp.max(region_vals, axis=-1)
@@ -207,7 +208,9 @@ def filter_analyzer_update(
         floor_low + filter_size_samples - floor_high
     ).astype(jnp.float32)
     filter_floor = accum / jnp.maximum(floor_count, 1.0)
-    abs_peak = jnp.take_along_axis(abs_h, peak_index[:, None], axis=-1)[:, 0]
+    abs_peak = jnp.sum(
+        jnp.where(taps[None, :] == peak_index[:, None], abs_h, 0.0), axis=-1
+    )
     new_significant = (abs_peak > 10.0 * filter_floor) & (abs_peak > 2.0 * sec)
     significant = jnp.where(finalize, new_significant, state.significant_peak)
 
@@ -843,14 +846,18 @@ def reverb_frequency_response_update(
     the final active partition.
     """
     c = st.tail_response.shape[0]
-    tail = jnp.take_along_axis(
-        frequency_responses,
-        jnp.broadcast_to(last_partition_index, (c,))[:, None, None],
+    p_max = frequency_responses.shape[1]
+    pidx = jnp.arange(p_max)
+    tail = jnp.sum(
+        jnp.where((pidx == last_partition_index)[None, :, None],
+                  frequency_responses, 0.0),
         axis=1,
-    )[:, 0]  # (C, 65)
-    direct = jnp.take_along_axis(
-        frequency_responses, filter_delays_blocks[:, None, None], axis=1
-    )[:, 0]
+    )  # (C, 65); one-hot reads — dynamic gathers serialize under vmap
+    direct = jnp.sum(
+        jnp.where((pidx[None, :] == filter_delays_blocks[:, None])[..., None],
+                  frequency_responses, 0.0),
+        axis=1,
+    )
 
     direct_energy = jnp.sum(direct[:, 1:], axis=-1)
     tail_energy = jnp.sum(tail[:, 1:], axis=-1)

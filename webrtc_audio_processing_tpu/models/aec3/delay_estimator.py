@@ -408,7 +408,10 @@ def _one_hot_i32(idx, size):
 def _peak_aggregate(state: PeakAggregatorState, lag):
     """HighestPeakAggregator::Aggregate (matched_filter_lag_aggregator.cc)."""
     size = state.histogram.shape[0]
-    old = state.histogram_data[state.histogram_data_index]
+    # One-hot read: a per-stream dynamic index into the 250-slot FIFO
+    # serializes into a per-stream gather loop under vmap.
+    slot_oh = jnp.arange(HISTOGRAM_DATA_SIZE) == state.histogram_data_index
+    old = jnp.sum(jnp.where(slot_oh, state.histogram_data, 0))
     hist = (
         state.histogram - _one_hot_i32(old, size) + _one_hot_i32(lag, size)
     )

@@ -196,9 +196,8 @@ def _correction_factors(config, st, X2, Y2, E2, converged):
 
     # erle_estimators_[ch][idx][subband]: smoothed toward new_erle, clamped
     # unconditionally at the selected section (as in the reference loop).
-    cur = jnp.take_along_axis(
-        st.erle_estimators, idx_sub[:, None, :], axis=1
-    )[:, 0, :]  # (C, 6)
+    # One-hot reads: per-channel dynamic gathers serialize under vmap.
+    cur = jnp.sum(jnp.where(onehot, st.erle_estimators, 0.0), axis=1)  # (C, 6)
     alpha = jnp.where(new_erle > cur, SMOOTH_INCREASE, SMOOTH_DECREASE)
     alpha = jnp.where(upd, alpha, 0.0)
     newv = jnp.clip(cur + alpha * (new_erle - cur), mn, max_sub)
@@ -214,12 +213,10 @@ def _correction_factors(config, st, X2, Y2, E2, converged):
 
     # correction_factors_[ch][idx][subband], after enough updates.
     cf_upd = upd & (num_updates > NUM_UPDATE_THR)
-    new_cf = jnp.take_along_axis(erle_est, idx_sub[:, None, :], axis=1)[
-        :, 0, :
-    ] / jnp.maximum(ref, 1e-30)
-    cf_cur = jnp.take_along_axis(
-        st.correction_factors, idx_sub[:, None, :], axis=1
-    )[:, 0, :]
+    new_cf = jnp.sum(jnp.where(onehot, erle_est, 0.0), axis=1) / jnp.maximum(
+        ref, 1e-30
+    )
+    cf_cur = jnp.sum(jnp.where(onehot, st.correction_factors, 0.0), axis=1)
     cf_new = cf_cur + 0.1 * (new_cf - cf_cur)
     cf = jnp.where(
         sel & cf_upd[:, None, :], cf_new[:, None, :], st.correction_factors

@@ -93,9 +93,10 @@ def analyzer_update(
     max_abs = jnp.max(jnp.abs(block[0]), axis=0)  # (C,)
     if block.shape[0] > 1:
         max_abs = jnp.maximum(max_abs, jnp.max(jnp.abs(block[1]), axis=0))
-    peak_level = jnp.take_along_axis(
-        X2_latest, peak_bins[:, None], axis=-1
-    )[:, 0]
+    peak_level = jnp.sum(
+        jnp.where(ks[None, :] == peak_bins[:, None], X2_latest, 0.0),
+        axis=-1,
+    )  # one-hot read: per-channel dynamic gathers serialize under vmap
     strong = (peak_bins > 0) & (max_abs > 100.0) & (
         peak_level > 100.0 * non_peak
     )

@@ -159,6 +159,23 @@ def split_into_frequency_bands(cfg: BufferConfig, state: AudioBufferState, y):
 
 
 def merge_frequency_bands(cfg: BufferConfig, state: AudioBufferState, bands):
-    """(num_bands, 160, ch) -> (buffer_num_frames, ch) (audio_buffer.cc:378)."""
-    y, new_split = splitting.synthesis(bands, state.split, cfg.num_bands)
+    """(num_bands, 160, ch) -> (buffer_num_frames, ch) (audio_buffer.cc:378).
+
+    Like copy_to, `bands` may carry fewer channels than the buffer when a
+    mono-mode echo controller narrowed the pipeline after the band split
+    (set_num_channels, audio_processing_impl.cc:1365-1373): only the live
+    channels are merged and the extra per-channel synthesis state goes
+    stale, as in the reference."""
+    ch = bands.shape[-1]
+    split = state.split
+    if ch != cfg.buffer_num_channels:
+        import jax
+
+        sliced = jax.tree_util.tree_map(lambda a: a[..., :ch], split)
+        y, new_sliced = splitting.synthesis(bands, sliced, cfg.num_bands)
+        new_split = jax.tree_util.tree_map(
+            lambda full, part: full.at[..., :ch].set(part), split, new_sliced
+        )
+    else:
+        y, new_split = splitting.synthesis(bands, split, cfg.num_bands)
     return state.replace(split=new_split), y

@@ -240,9 +240,10 @@ def _quantile_estimate(state: NsState, log_spectrum):
     publish = has_sel | startup
     num_updates = jnp.where(startup, state.num_updates + 1, state.num_updates)
 
-    chosen_lq = jnp.take_along_axis(
-        log_quantile, jnp.maximum(sel, 0)[:, None, None], axis=1
-    )[:, 0, :]
+    # One-hot read over the 3 simultaneous slots: a per-channel dynamic
+    # gather serializes under vmap.
+    slot_oh = slot_ids[None, :, None] == jnp.maximum(sel, 0)[:, None, None]
+    chosen_lq = jnp.sum(jnp.where(slot_oh, log_quantile, 0.0), axis=1)
     quantile = jnp.where(publish[:, None], exp_approx(chosen_lq), state.quantile)
 
     updates = dict(
@@ -363,12 +364,12 @@ def _find_first_of_two_largest_peaks(hist, bin_size):
     """
     dt = jnp.float32
     idx = jnp.argmax(hist, axis=-1)  # first occurrence
-    val = jnp.take_along_axis(hist, idx[:, None], axis=-1)[:, 0]
+    val = jnp.max(hist, axis=-1)  # == hist[idx], without a dynamic gather
     masked = jnp.where(
         jnp.arange(hist.shape[-1]) == idx[:, None], -1, hist
     )
     idx2 = jnp.argmax(masked, axis=-1)
-    val2 = jnp.take_along_axis(masked, idx2[:, None], axis=-1)[:, 0]
+    val2 = jnp.max(masked, axis=-1)
 
     pos = jnp.where(val > 0, (idx.astype(dt) + 0.5) * bin_size, 0.0)
     weight = jnp.where(val > 0, val, 0)
