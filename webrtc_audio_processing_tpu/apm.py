@@ -107,6 +107,11 @@ class ApmGeometry:
         injections: object | None = None,
         debug_taps: bool = False,
         aec3_stereo_content: bool = False,  # host-tracked detector state
+        # Storage dtype for the AEC3 render history rings ("float32" |
+        # "bfloat16"). bfloat16 halves the dominant per-stream HBM state
+        # for large-scale serving at a small (quantized render history)
+        # accuracy cost; the default is reference-exact f32.
+        aec3_ring_dtype: str = "float32",
     ) -> "ApmGeometry":
         capture_output_rate = capture_output_rate or capture_input_rate
         render_input_rate = render_input_rate or capture_input_rate
@@ -176,6 +181,7 @@ class ApmGeometry:
                     active_cfg, cap_rate,
                     ren_channels if stereo_proc else 1, cap_ch,
                     nree=nree, debug_taps=debug_taps,
+                    ring_dtype=aec3_ring_dtype,
                 )
 
         aecm_geo = None

@@ -102,7 +102,10 @@ def _update_stationarity_flags(st: StationarityState, spectra, s_read,
     idx = jnp.mod(s_read + offsets, num_blocks)
     from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
 
-    window = rb._take_rows(spectra, idx, num_blocks)  # (13, C, 65)
+    # spectra is the flat (L, C*65) ring; reshape the taken rows.
+    window = rb._take_rows(spectra, idx, num_blocks).reshape(
+        (WINDOW_LENGTH, -1, 65)
+    )  # (13, C, 65)
     acum = jnp.sum(jnp.mean(window, axis=1), axis=0) + average_reverb
     noise = WINDOW_LENGTH * st.noise_spectrum
     flags = acum < THR_STATIONARITY * noise
@@ -136,7 +139,9 @@ def update(state: EchoAudibilityState, spectra, s_read, s_write,
         external_delay_seen, False, ~too_low
     )
 
-    newest = jnp.mean(spectra[s_write], axis=0)  # (65,)
+    newest = jnp.mean(
+        spectra[s_write].reshape(-1, 65).astype(jnp.float32), axis=0
+    )  # (65,)
     st_upd = _noise_update(st, newest)
     st = jax.tree_util.tree_map(
         lambda a, b: jnp.where(non_zero, a, b), st_upd, st

@@ -54,14 +54,16 @@ class Aec3Geometry:
     def create(config: EchoCanceller3Config, sample_rate_hz: int,
                num_render: int, num_capture: int,
                nree: object | None = None,
-               debug_taps: bool = False) -> "Aec3Geometry":
+               debug_taps: bool = False,
+               ring_dtype: str = "float32") -> "Aec3Geometry":
         return Aec3Geometry(
             config=config,
             sample_rate_hz=sample_rate_hz,
             num_bands=sample_rate_hz // 16000,
             num_render_channels=num_render,
             num_capture_channels=num_capture,
-            buffer=rb.BufferGeometry.create(config, sample_rate_hz, num_render),
+            buffer=rb.BufferGeometry.create(config, sample_rate_hz, num_render,
+                                            ring_dtype=ring_dtype),
             delay=de.DelayGeometry.create(config),
             nree=nree,
             debug_taps=debug_taps,
@@ -186,20 +188,25 @@ def _process_capture_block(
 
     # First-capture reset (block_processor.cc:102-113). Render always starts
     # first in the paired step, so only the initial reset matters.
+    # `a is b` leaves are untouched by the reset (state.replace shares
+    # them) — skipping the select avoids materializing a copy of the big
+    # ring buffers for a predicate that is False on every block but the
+    # first.
     first = ~state.capture_started
     buf_reset = rb.reset(geo.buffer, cfg, state.buffer)
     buffer = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(first, a, b), buf_reset, state.buffer
+        lambda a, b: b if a is b else jnp.where(first, a, b),
+        buf_reset, state.buffer,
     )
     delay_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(first, a, b),
+        lambda a, b: b if a is b else jnp.where(first, a, b),
         de.reset_delay_controller(state.delay, jnp.asarray(True)), state.delay,
     )
 
     # Render overrun flush (block_processor.cc:119-127).
     flush = state.render_event_pending == rb.EVENT_RENDER_OVERRUN
     delay_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(flush, a, b),
+        lambda a, b: b if a is b else jnp.where(flush, a, b),
         de.reset_delay_controller(delay_state, jnp.asarray(True)), delay_state,
     )
     delay_change = flush
@@ -209,7 +216,7 @@ def _process_capture_block(
     )
     underrun = buf_event == rb.EVENT_RENDER_UNDERRUN
     delay_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(underrun, a, b),
+        lambda a, b: b if a is b else jnp.where(underrun, a, b),
         de.reset_delay_controller(delay_state, jnp.asarray(False)), delay_state,
     )
 

@@ -92,10 +92,18 @@ class BufferGeometry:
     num_blocks: int  # L: block/spectrum/fft ring length
     ds_size: int  # low-rate ring length (samples)
     buffer_headroom: int  # refined filter length
+    # Storage dtype for the three large ring buffers (blocks/spectra/ffts).
+    # "float32" (default) is reference-exact; "bfloat16" halves the
+    # dominant per-stream HBM state (~500 KB -> ~250 KB at 48 kHz stereo)
+    # and ring read/write bandwidth for large-scale serving. Reads are
+    # upcast to f32 before any arithmetic, so only the stored render
+    # history is quantized.
+    ring_dtype: str = "float32"
 
     @staticmethod
     def create(config: EchoCanceller3Config, sample_rate_hz: int,
-               num_channels: int) -> "BufferGeometry":
+               num_channels: int,
+               ring_dtype: str = "float32") -> "BufferGeometry":
         ds = config.delay.down_sampling_factor
         return BufferGeometry(
             num_bands=sample_rate_hz // 16000,
@@ -107,11 +115,26 @@ class BufferGeometry:
                 config.filter.refined.length_blocks),
             ds_size=get_down_sampled_buffer_size(ds, config.delay.num_filters),
             buffer_headroom=config.filter.refined.length_blocks,
+            ring_dtype=ring_dtype,
         )
+
+    @property
+    def ring_jnp_dtype(self):
+        return jnp.dtype(self.ring_dtype)
 
     @property
     def max_delay(self) -> int:
         return self.num_blocks - 1 - self.buffer_headroom
+
+    @property
+    def block_row_shape(self) -> tuple:
+        """Logical shape of one `blocks` ring row."""
+        return (self.num_bands, BLOCK_SIZE, self.num_channels)
+
+    @property
+    def spec_row_shape(self) -> tuple:
+        """Logical shape of one `spectra`/`ffts` ring row."""
+        return (self.num_channels, NUM_BINS)
 
 
 @struct.dataclass
@@ -126,9 +149,20 @@ class AlignmentMixerState:
 
 @struct.dataclass
 class RenderDelayBufferState:
-    blocks: jnp.ndarray  # (L, bands, 64, C)
-    spectra: jnp.ndarray  # (L, C, 65)
-    ffts: jnp.ndarray  # (L, C, 65) complex64
+    # The rings are stored FLAT per row — (L, F) rather than (L, bands, 64,
+    # C) / (L, C, 65) — so that the uniform-index row write
+    # (dynamic-update-slice) and the one-hot matmul reads agree on a single
+    # (batch-major, row-minor) layout. With the multi-dim row shapes XLA's
+    # layout assignment put the stream batch in the minor (lane) dimension
+    # for the scatter but row-major for the dot operands, materializing two
+    # whole-ring layout copies per inserted block (~70% of the 48 kHz step).
+    # `ffts` is stored PLANAR-REAL — (L, 2*C*65) with the real plane first
+    # — rather than complex64: it keeps the ring in the (optionally
+    # bfloat16) ring dtype and lets the one-hot window read be a single
+    # real matmul instead of two.
+    blocks: jnp.ndarray  # (L, bands*64*C) flat rows
+    spectra: jnp.ndarray  # (L, C*65) flat rows
+    ffts: jnp.ndarray  # (L, 2*C*65) flat rows: [real | imag]
     lowrate: jnp.ndarray  # (DS,)
     b_delay: jnp.ndarray  # () int32: (b_write - b_read) mod L
     lr_latency: jnp.ndarray  # () int32: (lr_read - lr_write) mod DS, samples
@@ -199,12 +233,16 @@ def init_state(geo: BufferGeometry, config: EchoCanceller3Config,
                dtype=jnp.float32) -> RenderDelayBufferState:
     aa_sections = 3 if geo.down_sampling_factor == 4 else 5
     nr_sections = 0 if geo.down_sampling_factor == 8 else 1
+    ring_dtype = geo.ring_jnp_dtype
     state = RenderDelayBufferState(
-        blocks=jnp.zeros((geo.num_blocks, geo.num_bands, BLOCK_SIZE,
-                          geo.num_channels), dtype),
-        spectra=jnp.zeros((geo.num_blocks, geo.num_channels, NUM_BINS), dtype),
-        ffts=jnp.zeros((geo.num_blocks, geo.num_channels, NUM_BINS),
-                       jnp.complex64),
+        blocks=jnp.zeros(
+            (geo.num_blocks, geo.num_bands * BLOCK_SIZE * geo.num_channels),
+            ring_dtype,
+        ),
+        spectra=jnp.zeros((geo.num_blocks, geo.num_channels * NUM_BINS),
+                          ring_dtype),
+        ffts=jnp.zeros((geo.num_blocks, 2 * geo.num_channels * NUM_BINS),
+                       ring_dtype),
         lowrate=jnp.zeros((geo.ds_size,), dtype),
         b_delay=jnp.asarray(0, jnp.int32),
         lr_latency=jnp.asarray(0, jnp.int32),
@@ -372,8 +410,9 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
         block = block * gain
     state = state.replace(
         blocks=jax.lax.dynamic_update_slice(
-            state.blocks, block[None].astype(state.blocks.dtype),
-            (b_write_index(geo, n), 0, 0, 0),
+            state.blocks,
+            block.reshape(1, -1).astype(state.blocks.dtype),
+            (b_write_index(geo, n), 0),
         )
     )
 
@@ -392,12 +431,17 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
 
     X = aec3_fft.padded_fft(band0, state.prev_band0)  # (C, 65)
     s_w = s_write_index(geo, n)
+    X_planar = jnp.concatenate(
+        [X.real.reshape(1, -1), X.imag.reshape(1, -1)], axis=1
+    )
     state = state.replace(
         ffts=jax.lax.dynamic_update_slice(
-            state.ffts, X[None].astype(state.ffts.dtype), (s_w, 0, 0)
+            state.ffts, X_planar.astype(state.ffts.dtype), (s_w, 0)
         ),
         spectra=jax.lax.dynamic_update_slice(
-            state.spectra, aec3_fft.spectrum(X)[None], (s_w, 0, 0)
+            state.spectra,
+            aec3_fft.spectrum(X).reshape(1, -1).astype(state.spectra.dtype),
+            (s_w, 0),
         ),
         prev_band0=band0,
     )
@@ -542,12 +586,23 @@ def _take_rows(buf, rows, L):
     mod L. Returns (R, ...)."""
     oh = (rows[:, None] == jnp.arange(L)).astype(jnp.float32)  # (R, L)
     flat = buf.reshape(L, -1)
+    # Precision HIGHEST keeps the contraction in f32: with the default
+    # (bf16) precision XLA:TPU maintains an incremental bf16 *shadow* of
+    # the whole ring (a second DUS + copy per insert) just to feed these
+    # dots — far more HBM traffic than the f32 matmul costs.
+    dot = lambda a, b: jnp.matmul(  # noqa: E731
+        a, b, precision=jax.lax.Precision.HIGHEST
+    )
     if jnp.iscomplexobj(buf):
         out = (
-            oh @ flat.real + 1j * (oh @ flat.imag)
+            dot(oh, flat.real) + 1j * dot(oh, flat.imag)
         ).astype(buf.dtype)
     else:
-        out = (oh @ flat).astype(buf.dtype)
+        # bf16 rings read back as f32 (the dot already accumulates in f32;
+        # keeping f32 here stops the quantization from spreading into the
+        # downstream arithmetic).
+        out_dtype = jnp.promote_types(buf.dtype, jnp.float32)
+        out = dot(oh, flat).astype(out_dtype)
     return out.reshape((rows.shape[0],) + buf.shape[1:])
 
 
@@ -559,7 +614,10 @@ def fft_window(geo: BufferGeometry, view: RenderView, num_partitions: int):
         s_read_index(geo, view.state, view.n) + jnp.arange(num_partitions),
         geo.num_blocks,
     )
-    return _take_rows(view.state.ffts, idx, geo.num_blocks)
+    planar = _take_rows(view.state.ffts, idx, geo.num_blocks).reshape(
+        (num_partitions, 2) + geo.spec_row_shape
+    )
+    return jax.lax.complex(planar[:, 0], planar[:, 1])
 
 
 def spectrum_window(geo: BufferGeometry, view: RenderView,
@@ -569,7 +627,9 @@ def spectrum_window(geo: BufferGeometry, view: RenderView,
         s_read_index(geo, view.state, view.n) + jnp.arange(num_partitions),
         geo.num_blocks,
     )
-    return _take_rows(view.state.spectra, idx, geo.num_blocks)
+    return _take_rows(view.state.spectra, idx, geo.num_blocks).reshape(
+        (num_partitions,) + geo.spec_row_shape
+    )
 
 
 def spectrum_at(geo: BufferGeometry, view: RenderView, offset):
@@ -577,7 +637,9 @@ def spectrum_at(geo: BufferGeometry, view: RenderView, offset):
     idx = jnp.mod(
         s_read_index(geo, view.state, view.n) + offset, geo.num_blocks
     )
-    return _take_rows(view.state.spectra, idx[None], geo.num_blocks)[0]
+    return _take_rows(view.state.spectra, idx[None], geo.num_blocks)[
+        0
+    ].reshape(geo.spec_row_shape)
 
 
 def block_window_back(geo: BufferGeometry, view: RenderView, W: int):
@@ -590,7 +652,9 @@ def block_window_back(geo: BufferGeometry, view: RenderView, W: int):
         b_read_index(geo, view.state, view.n) - jnp.arange(W),
         geo.num_blocks,
     )
-    return _take_rows(view.state.blocks, idx, geo.num_blocks)
+    return _take_rows(view.state.blocks, idx, geo.num_blocks).reshape(
+        (W,) + geo.block_row_shape
+    )
 
 
 def window_row(win, offset):
@@ -608,10 +672,13 @@ def window_row(win, offset):
         jnp.expand_dims(offset, -1) == jnp.arange(W)
     ).astype(oh_dtype)
     flat = win.reshape(W, -1)
+    dot = lambda a, b: jnp.matmul(  # noqa: E731
+        a, b, precision=jax.lax.Precision.HIGHEST
+    )
     if jnp.iscomplexobj(win):
-        out = (oh @ flat.real + 1j * (oh @ flat.imag)).astype(win.dtype)
+        out = (dot(oh, flat.real) + 1j * dot(oh, flat.imag)).astype(win.dtype)
     else:
-        out = (oh @ flat.astype(oh_dtype)).astype(win.dtype)
+        out = dot(oh, flat.astype(oh_dtype)).astype(win.dtype)
     return out.reshape(offset.shape + win.shape[1:])
 
 
@@ -620,7 +687,9 @@ def block_at(geo: BufferGeometry, view: RenderView, offset: int = 0):
     idx = jnp.mod(
         b_read_index(geo, view.state, view.n) + offset, geo.num_blocks
     )
-    return _take_rows(view.state.blocks, idx[None], geo.num_blocks)[0]
+    return _take_rows(view.state.blocks, idx[None], geo.num_blocks)[
+        0
+    ].reshape(geo.block_row_shape)
 
 
 def spectral_sum(geo: BufferGeometry, view: RenderView, num_spectra: int):
