@@ -6,6 +6,12 @@ associative scans (``recurrence``) so they map to log-depth VPU programs
 instead of per-sample loops.
 """
 
-from webrtc_audio_processing_tpu.ops import audio_util, biquad, qmf, recurrence
+from webrtc_audio_processing_tpu.ops import (
+    audio_util,
+    biquad,
+    legacy_resampler,
+    qmf,
+    recurrence,
+)
 
-__all__ = ["audio_util", "biquad", "qmf", "recurrence"]
+__all__ = ["audio_util", "biquad", "legacy_resampler", "qmf", "recurrence"]
