@@ -152,3 +152,46 @@ def test_initialize_resets_state():
     ap.initialize()
     err, out = ap.process_stream(x, 16000)
     assert err == kNoError
+
+
+class TestCaptureOutputUsed:
+    """kCaptureOutputUsed runtime setting + unmute click suppression
+    (audio_processing_impl.cc:1046-1057, 1540-1552)."""
+
+    def test_unmute_zeroes_first_frame(self):
+        ap = AudioProcessing(cfg_mod.Config())
+        x = (RNG.standard_normal((160, 1)) * 0.1).astype(np.float32)
+        err, out = ap.process_stream(x, 16000)
+        assert err == kNoError and np.abs(out).max() > 0
+
+        ap.set_runtime_setting(
+            RuntimeSetting.create_capture_output_used_setting(False)
+        )
+        err, _ = ap.process_stream(x, 16000)
+        assert err == kNoError
+
+        ap.set_runtime_setting(
+            RuntimeSetting.create_capture_output_used_setting(True)
+        )
+        err, out = ap.process_stream(x, 16000)
+        assert err == kNoError
+        # First frame after unmute is zeroed to suppress the click.
+        assert np.abs(out).max() == 0.0
+
+        err, out = ap.process_stream(x, 16000)
+        assert err == kNoError
+        assert np.abs(out).max() > 0.0
+
+    def test_render_output_is_processed_and_returned(self):
+        # The render path returns the processed (format-converted) render
+        # signal, not the input (audio_processing_impl.cc:1594-1605).
+        ap = AudioProcessing(cfg_mod.Config().replace(
+            echo_canceller=cfg_mod.EchoCanceller(enabled=True),
+        ))
+        x = (RNG.standard_normal((160, 1)) * 0.1).astype(np.float32)
+        # Prime the geometry with one capture frame.
+        ap.process_stream(x, 16000)
+        r = (RNG.standard_normal((160, 1)) * 0.1).astype(np.float32)
+        err, rout = ap.process_reverse_stream(r, 16000)
+        assert err == kNoError
+        assert rout.shape == r.shape
