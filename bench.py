@@ -182,9 +182,31 @@ def measure_streams(mode, budget_s, batch_sizes):
     return best_streams, results
 
 
+def _wait_for_device(max_wait_s: float) -> bool:
+    """The axon TPU tunnel has hour-scale outages; probe in a subprocess
+    (a failed in-process init can poison the jax backend cache) and wait
+    up to max_wait_s before measuring."""
+    import subprocess
+
+    deadline = time.perf_counter() + max_wait_s
+    while True:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=180,
+        )
+        if probe.returncode == 0:
+            return True
+        if time.perf_counter() >= deadline:
+            print("# device unavailable after wait", file=sys.stderr)
+            return False
+        print("# device unavailable; retrying", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "900"))
     mode = os.environ.get("BENCH_MODE", "both")
+    _wait_for_device(max_wait_s=min(600.0, budget_s * 0.3))
     t0 = time.perf_counter()
 
     headline = 0
