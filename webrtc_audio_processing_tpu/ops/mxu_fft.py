@@ -44,6 +44,20 @@ def _dft_matrices(n: int):
 
 
 @functools.lru_cache(maxsize=8)
+def _dft_matrix_packed(n: int):
+    """(n, 2*(n//2+1)) packed [cos | -sin] basis: one matmul per rfft."""
+    c, s = _dft_matrices(n)
+    return np.concatenate([c, s], axis=1)
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_matrix_packed(n: int):
+    """(2*(n//2+1), n) stacked inverse basis: one matmul per irfft."""
+    c, s = _idft_matrices(n)
+    return np.concatenate([c, s], axis=0)
+
+
+@functools.lru_cache(maxsize=8)
 def _idft_matrices(n: int):
     """(C, S) with shapes (n//2+1, n) for the inverse real transform.
 
@@ -68,11 +82,14 @@ def rfft_matmul(x, n: int | None = None):
     """
     n = n or x.shape[-1]
     assert x.shape[-1] == n
-    c, s = _dft_matrices(n)
+    nb = n // 2 + 1
     x = x.astype(jnp.float32)
-    re = jnp.matmul(x, c, preferred_element_type=jnp.float32)
-    im = jnp.matmul(x, s, preferred_element_type=jnp.float32)
-    return jax.lax.complex(re, im)
+    # One matmul against the packed [cos | -sin] basis: x is read once and
+    # the MXU sees a wider (more efficient) output tile than two nb-wide
+    # matmuls.
+    both = jnp.matmul(x, _dft_matrix_packed(n),
+                      preferred_element_type=jnp.float32)
+    return jax.lax.complex(both[..., :nb], both[..., nb:])
 
 
 def irfft_matmul(X, n: int):
@@ -80,11 +97,11 @@ def irfft_matmul(X, n: int):
 
     X: (..., n//2+1) complex. Returns (..., n) real float32.
     """
-    c, s = _idft_matrices(n)
     re = jnp.real(X).astype(jnp.float32)
     im = jnp.imag(X).astype(jnp.float32)
-    return (jnp.matmul(re, c, preferred_element_type=jnp.float32)
-            + jnp.matmul(im, s, preferred_element_type=jnp.float32))
+    packed = jnp.concatenate([re, im], axis=-1)
+    return jnp.matmul(packed, _idft_matrix_packed(n),
+                      preferred_element_type=jnp.float32)
 
 
 def default_backend() -> str:
