@@ -195,3 +195,28 @@ class TestCaptureOutputUsed:
         err, rout = ap.process_reverse_stream(r, 16000)
         assert err == kNoError
         assert rout.shape == r.shape
+
+
+class TestFormatChangeStress:
+    """Random mid-stream format changes (audio_processing_unittest.cc
+    ChannelCombinations / format-change regions): every transition must
+    reinitialize cleanly and produce a well-formed frame."""
+
+    def test_random_format_transitions(self):
+        rng = np.random.default_rng(3)
+        ap = AudioProcessing(cfg_mod.Config().replace(
+            noise_suppression=cfg_mod.NoiseSuppression(enabled=True),
+        ))
+        combos = [(16000, 1), (16000, 2), (32000, 1), (32000, 2)]
+        last = None
+        for _ in range(12):
+            rate, ch = combos[rng.integers(len(combos))]
+            x = (rng.standard_normal((rate // 100, ch)) * 0.1).astype(
+                np.float32
+            )
+            err, out = ap.process_stream(x, rate)
+            assert err == kNoError, (rate, ch)
+            assert out.shape == x.shape, (rate, ch, out.shape)
+            assert np.all(np.isfinite(out))
+            last = (rate, ch)
+        assert last is not None
