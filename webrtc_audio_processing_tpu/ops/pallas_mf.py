@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -82,31 +83,102 @@ def _mf_kernel(lr_ref, seg_ref, h_ref, y_ref, smooth_ref,
 
     # Materialize the SUB shifted windows once: each lane-offset slice of
     # `segs` is a vector-register funnel shift over the whole tile, and the
-    # recurrence below touches x_i three times per sample — reading from
-    # the aligned scratch instead re-does none of those shifts.
+    # window dots below touch x_i three times — reading from the aligned
+    # scratch instead re-does none of those shifts.
     for i in range(SUB):
         xw_scratch[:, i] = segs[:, :, SUB - 1 - i : SUB - 1 - i + TAPS]
     xw = xw_scratch[:]  # (S, SUB, N, TAPS)
-    x2_all = jnp.sum(xw * xw, axis=-1)  # (S, SUB, N)
 
-    err = jnp.zeros((streams, n_filters), jnp.float32)
-    upd = jnp.zeros((streams, n_filters), jnp.float32)
-    alphas = []
+    # ---- Gram (blocked-NLMS) reformulation -------------------------------
+    # The reference updates h per sample: e_i = y_i - h_i.x_i,
+    # h_{i+1} = h_i + a_i x_i. Expanding h_i = h_0 + sum_{j<i} a_j x_j gives
+    #   e_i = y_i - h_0.x_i - sum_{j<i} a_j (x_j.x_i),
+    # so the only sequentially dependent quantities are the 16 scalars a_i;
+    # every TAPS-length operation (the window dots and the final rank-16
+    # filter update) is dependency-free and pipelines. The Gram matrix
+    # G[j,i] = x_j.x_i is NOT computed with 136 long dots: consecutive
+    # windows differ by one sample, so along each diagonal
+    #   G[j+1,i+1] = G[j,i] + seg[14-j] seg[14-i] - seg[526-j] seg[526-i]
+    # and the whole matrix follows from row 0 (16 dots) plus cumulative
+    # sums of 15-element edge products.
+    s0 = []  # h0 . x_i
+    r = []  # x_0 . x_i  (= G[0, i])
+    x0 = segs[:, :, SUB - 1 : SUB - 1 + TAPS]
     for i in range(SUB):
         x_i = xw[:, i]  # (S, N, TAPS)
-        x2 = x2_all[:, i]  # (S, N)
-        s_i = jnp.sum(h * x_i, axis=-1)  # (S, N)
-        e_i = y[:, i : i + 1] - s_i  # (S, N)
-        sat = (y[:, i : i + 1] >= 32000.0) | (y[:, i : i + 1] <= -32000.0)
-        gate = (x2 > threshold) & ~sat
-        a_i = jnp.where(
-            gate, smoothing * e_i / jnp.maximum(x2, 1e-30), 0.0
-        )
-        h = h + a_i[:, :, None] * x_i
-        err = err + e_i * e_i
-        upd = jnp.maximum(upd, gate.astype(jnp.float32))
-        alphas.append(a_i)
+        s0.append(jnp.sum(h * x_i, axis=-1))  # (S, N)
+        r.append(jnp.sum(x0 * x_i, axis=-1))  # (S, N)
+    s0 = jnp.stack(s0, axis=-1)  # (S, N, SUB)
+    r = jnp.stack(r, axis=-1)  # (S, N, SUB)
 
+    # Edge products: with g = reverse(seg[0:15]) and f = reverse(seg[512:527])
+    # (so g[m] = seg[14-m]), the diagonal-d marching terms are
+    # C[m, d] = g[m] g[m+d] - f[m] f[m+d], m + d <= 14. The reversal is a
+    # constant flip matmul (Mosaic has no strided-reverse), zero-padded to
+    # 2*SUB so the shifted reads below stay in bounds.
+    # (Pallas kernels cannot capture host constants; build the flip
+    # one-hot from iota inside the kernel.)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (SUB - 1, 2 * SUB), 0)
+    col_m = jax.lax.broadcasted_iota(jnp.int32, (SUB - 1, 2 * SUB), 1)
+    flip = (col_m == SUB - 2 - row_i).astype(jnp.float32)
+    def _flipped(edge):  # (S, N, SUB-1) -> (S, N, 2*SUB), 2D matmul only
+        e2 = edge.reshape(streams * n_filters, SUB - 1)
+        return jnp.dot(e2, flip, preferred_element_type=jnp.float32).reshape(
+            streams, n_filters, 2 * SUB
+        )
+
+    g = _flipped(segs[:, :, : SUB - 1])
+    f = _flipped(segs[:, :, TAPS : TAPS + SUB - 1])
+    # C over d (last axis), at edge index m: C[m] = (S, N, SUB_d).
+    gm = g[:, :, :SUB]
+    fm = f[:, :, :SUB]
+    c_rows = [
+        gm[:, :, m : m + 1] * g[:, :, m : m + SUB]
+        - fm[:, :, m : m + 1] * f[:, :, m : m + SUB]
+        for m in range(SUB - 1)
+    ]  # each (S, N, SUB_d)
+
+    # G row j over capture-sample i: G[j, i] = r[i-j] + scum[j, i-j] where
+    # scum[j] = sum_{m<j} C[m] (exclusive prefix, unrolled tiny adds).
+    rows = []
+    x2_cols = []
+    scum_j = jnp.zeros((streams, n_filters, SUB), jnp.float32)
+    for j in range(SUB):
+        base_j = r + scum_j  # (S, N, SUB_d): G[j, j+d]
+        rows.append(
+            jnp.concatenate(
+                [
+                    jnp.zeros((streams, n_filters, j), jnp.float32),
+                    base_j[:, :, : SUB - j],
+                ],
+                axis=-1,
+            )
+        )
+        x2_cols.append(base_j[:, :, 0])  # diagonal: G[j, j]
+        if j < SUB - 1:
+            scum_j = scum_j + c_rows[j]
+    gmat = jnp.stack(rows, axis=2)  # (S, N, j, i), valid for j <= i
+    x2_all = jnp.stack(x2_cols, axis=-1)  # (S, N, SUB)
+
+    sat = (y >= 32000.0) | (y <= -32000.0)  # (S, SUB)
+    gates = (x2_all > threshold) & ~sat[:, None, :]  # (S, N, SUB)
+    inv_x2 = smoothing[:, :, None] / jnp.maximum(x2_all, 1e-30)
+
+    # The 16-step recurrence now touches only (S, N, SUB) scalars.
+    acc = jnp.zeros((streams, n_filters, SUB), jnp.float32)
+    err = jnp.zeros((streams, n_filters), jnp.float32)
+    alphas = []
+    for i in range(SUB):
+        e_i = y[:, None, i] - s0[:, :, i] - acc[:, :, i]  # (S, N)
+        a_i = jnp.where(gates[:, :, i], e_i * inv_x2[:, :, i], 0.0)
+        acc = acc + a_i[:, :, None] * gmat[:, :, i]
+        err = err + e_i * e_i
+        alphas.append(a_i)
+    upd = jnp.max(gates.astype(jnp.float32), axis=-1)
+
+    # Rank-16 filter update: independent FMAs, no reductions.
+    for i in range(SUB):
+        h = h + alphas[i][:, :, None] * xw[:, i]
     h_out[:] = h
     alpha_out[:] = jnp.stack(alphas, axis=-1)  # (S, N, SUB)
     err_out[:] = err
@@ -285,9 +357,13 @@ def make_nlms(n_filters: int, shift: int, ds_size: int, threshold: float,
                 (lowrate, lr_read, h0, y, smoothing), in_batched
             )
         )
-        if interpret:
+        import os
+
+        if interpret or os.environ.get("WAP_MF_FORCE_SCAN"):
             # CPU path: batch the reference-order scan instead of paying
-            # the Pallas interpreter per stream.
+            # the Pallas interpreter per stream. WAP_MF_FORCE_SCAN is the
+            # operational escape hatch: identical numerics on pure XLA if
+            # the Pallas kernel ever misbehaves on a new backend.
             out = jax.vmap(
                 lambda lo, lr, h, yy, sm: _nlms_scan(
                     lo, lr, h, yy, sm, n_filters=n_filters, shift=shift,
