@@ -145,8 +145,11 @@ def _mf_kernel(lr_ref, seg_ref, h_ref, y_ref, smooth_ref,
     scum_j = jnp.zeros((streams, n_filters, SUB), jnp.float32)
     for j in range(SUB):
         base_j = r + scum_j  # (S, N, SUB_d): G[j, j+d]
+        # (Mosaic rejects zero-sized vectors — skip the pad at j=0.)
         rows.append(
-            jnp.concatenate(
+            base_j
+            if j == 0
+            else jnp.concatenate(
                 [
                     jnp.zeros((streams, n_filters, j), jnp.float32),
                     base_j[:, :, : SUB - j],
@@ -169,7 +172,9 @@ def _mf_kernel(lr_ref, seg_ref, h_ref, y_ref, smooth_ref,
     err = jnp.zeros((streams, n_filters), jnp.float32)
     alphas = []
     for i in range(SUB):
-        e_i = y[:, None, i] - s0[:, :, i] - acc[:, :, i]  # (S, N)
+        # (y[:, i:i+1] broadcasts (S, 1) over filters; a None-mixed integer
+        # index would lower as a gather, which Mosaic rejects.)
+        e_i = y[:, i : i + 1] - s0[:, :, i] - acc[:, :, i]  # (S, N)
         a_i = jnp.where(gates[:, :, i], e_i * inv_x2[:, :, i], 0.0)
         acc = acc + a_i[:, :, None] * gmat[:, :, i]
         err = err + e_i * e_i
@@ -275,6 +280,12 @@ def matched_filter_nlms(
             pltpu.VMEM((S, scratch_w), jnp.float32),
             pltpu.VMEM((S, SUB, n_filters, TAPS), jnp.float32),
         ],
+        # xw_scratch alone is S*SUB*N*TAPS*4 B (5.2 MB at S=32); the
+        # default 16 MB scoped-vmem budget is too tight for the compiler's
+        # stack accounting of the surrounding temporaries.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         lr_read.astype(jnp.int32)[:, None],
