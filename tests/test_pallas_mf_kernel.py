@@ -78,3 +78,39 @@ class TestKernelEquivalence:
         np.testing.assert_array_equal(np.asarray(upd), False)
         np.testing.assert_allclose(np.asarray(h), np.asarray(h0))
         np.testing.assert_array_equal(np.asarray(alphas), 0.0)
+
+
+def _compare_t(B, shift, ds_size, n_filters=5, taps=512, scale=400.0,
+               sub=16, sat=False):
+    """Transposed (streams-on-lanes) kernel vs the reference-order scan."""
+    thr = taps * 150.0**2
+    low, lr, h0, y, sm = _inputs(B, ds_size, n_filters, taps, scale, sub)
+    if sat:
+        y = y.at[:, 3].set(32001.0)
+    ref = jax.vmap(
+        lambda lo, r, h, yy, s: pm._nlms_scan(
+            lo, r, h, yy, s, n_filters=n_filters, shift=shift,
+            ds_size=ds_size, threshold=thr, sub=sub, taps=taps,
+        )
+    )(low, lr, h0, y, sm)
+    out = pm.matched_filter_nlms_t(
+        low, lr, h0, y, sm, n_filters=n_filters, shift=shift,
+        ds_size=ds_size, threshold=thr, sub=sub, taps=taps, interpret=True,
+    )
+    for nm, a, b in zip(("h", "alphas", "err", "upd", "segs"), ref, out):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+        tol = 0.0 if nm in ("upd", "segs") else 2e-5
+        assert rel <= tol, (nm, rel)
+
+
+class TestTransposedKernelEquivalence:
+    def test_ds4_geometry(self):
+        _compare_t(B=128, shift=384, ds_size=1536)
+
+    def test_ds8_geometry(self):
+        _compare_t(B=128, shift=192, ds_size=768, sub=8, taps=256)
+
+    def test_saturation_gates_update(self):
+        _compare_t(B=128, shift=384, ds_size=1536, sat=True)
