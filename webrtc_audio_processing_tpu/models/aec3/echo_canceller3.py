@@ -198,26 +198,27 @@ def _process_capture_block(
         lambda a, b: b if a is b else jnp.where(first, a, b),
         buf_reset, state.buffer,
     )
-    delay_state = jax.tree_util.tree_map(
-        lambda a, b: b if a is b else jnp.where(first, a, b),
-        de.reset_delay_controller(state.delay, jnp.asarray(True)), state.delay,
-    )
 
     # Render overrun flush (block_processor.cc:119-127).
     flush = state.render_event_pending == rb.EVENT_RENDER_OVERRUN
-    delay_state = jax.tree_util.tree_map(
-        lambda a, b: b if a is b else jnp.where(flush, a, b),
-        de.reset_delay_controller(delay_state, jnp.asarray(True)), delay_state,
-    )
     delay_change = flush
 
     buffer, buf_event, _activity = rb.prepare_capture_processing(
         geo.buffer, cfg, buffer
     )
     underrun = buf_event == rb.EVENT_RENDER_UNDERRUN
+
+    # One combined delay-controller reset select instead of three
+    # (first / flush / underrun): each tree_map-where is a full pass over
+    # the matched-filter bank + lag histograms per stream per block.
+    # Sequential composition collapses exactly — reset fields are
+    # event-independent constants except the confidence-gated ones, and
+    # reset(reset(x, True), False) == reset(x, True).
+    hard = first | flush  # reset_delay_confidence=True events
+    any_reset = hard | underrun
     delay_state = jax.tree_util.tree_map(
-        lambda a, b: b if a is b else jnp.where(underrun, a, b),
-        de.reset_delay_controller(delay_state, jnp.asarray(False)), delay_state,
+        lambda a, b: b if a is b else jnp.where(any_reset, a, b),
+        de.reset_delay_controller(state.delay, hard), state.delay,
     )
 
     # Delay estimation and alignment.

@@ -745,7 +745,28 @@ def process_capture(
     Returns (state, output_block (bands, 64, C), linear_output (C, 64)).
     """
     y0 = jnp.swapaxes(capture_block[0], 0, 1)  # (C, 64)
-    x_block = rb.block_at(geo, buf, 0)
+
+    # Consolidated ring windows, built once up front: EVERY ring read below
+    # slices/one-hots these windows instead of touching the ring. A direct
+    # single-row read (spectrum_at/block_at) is a (1, L) x (L, F) one-hot
+    # contraction that XLA:TPU rewrites as broadcast+multiply+reduce,
+    # materializing a ring-sized temporary per call — at serving batch
+    # sizes those temporaries were the largest line item of the step.
+    p_ref_max = state.subtractor.refined.H.shape[1]
+    headroom_blocks = int(config.delay.delay_headroom_samples) // 64
+    delay_bound = max(config.filter.refined.length_blocks, headroom_blocks + 1)
+    spec_win_len = min(
+        max(p_ref_max, delay_bound + 2)
+        + max(config.echo_model.render_post_window_size, 1) + 1,
+        geo.num_blocks,
+    )
+    spec_win = rb.spectrum_window(geo, buf, spec_win_len)
+    blocks_win = rb.block_window_back(
+        geo, buf, min(delay_bound, geo.num_blocks)
+    )
+    X_window = rb.fft_window(geo, buf, p_ref_max)
+    # block_window_back row 0 is b_read_index + 0 == RenderBuffer::GetBlock(0).
+    x_block = blocks_win[0]
 
     # Gain-change hangover: act once per frame (echo_remover.cc:317-333).
     gain_change = gain_change & (state.gain_change_hangover == 0)
@@ -767,10 +788,10 @@ def process_capture(
     )
     del path_changed
 
-    # Render signal analysis.
+    # Render signal analysis (reads rows of the consolidated windows).
     analyzer = subt.analyzer_update(
         config, state.analyzer, geo, buf, aec.min_filter_delay,
-        jnp.asarray(True),
+        jnp.asarray(True), spec_win=spec_win, block0=x_block,
     )
 
     # Initial-state transition (echo_remover.cc:344-348) uses last block's
@@ -786,25 +807,7 @@ def process_capture(
         supp_gain_state,
     )
 
-    # Linear echo cancellation. One consolidated spectra window serves
-    # every dynamic single-row read this block (offsets are bounded by the
-    # refined filter length + the echo-model post window; each separate
-    # spectrum_at costs a full-ring contraction under vmap).
-    p_ref_max = sub_state.refined.H.shape[1]
-    # min_filter_delay is bounded by the filter length OR (before
-    # convergence, with an external delay) the delay headroom in blocks.
-    headroom_blocks = int(config.delay.delay_headroom_samples) // 64
-    delay_bound = max(config.filter.refined.length_blocks, headroom_blocks + 1)
-    spec_win_len = min(
-        max(p_ref_max, delay_bound + 2)
-        + max(config.echo_model.render_post_window_size, 1) + 1,
-        geo.num_blocks,
-    )
-    spec_win = rb.spectrum_window(geo, buf, spec_win_len)
-    blocks_win = rb.block_window_back(
-        geo, buf, min(delay_bound, geo.num_blocks)
-    )
-    X_window = rb.fft_window(geo, buf, p_ref_max)
+    # Linear echo cancellation (windows built at the top of the function).
     # Spectral sums masked to the active partition counts.
     spectra_win = spec_win[:p_ref_max]  # (P, C, 65)
     pidx = jnp.arange(p_ref_max)

@@ -203,6 +203,40 @@ def _as_n(n):
     return jnp.asarray(n, jnp.int32)
 
 
+@jax.custom_batching.custom_vmap
+def uniform_dus(buf, upd, idx):
+    """dynamic_update_slice along axis 0 at a BATCH-UNIFORM index.
+
+    jax's vmap batching rule for dynamic_update_slice emits a `scatter`
+    even when the index is unbatched, and XLA:TPU lowers that scatter as
+    a full-operand copy — for the AEC3 rings that materialized whole-ring
+    copies (hundreds of KB/stream) on every block insert, the single
+    largest cost of the 48 kHz step. This wrapper keeps the batched case
+    a true batched dynamic_update_slice (in-place under buffer donation).
+
+    buf: (L, ...); upd: (k, ...) with k static; idx: () int32, identical
+    across the stream batch (all ring write indices are pure functions of
+    the global insert ordinal `n`).
+    """
+    start = (idx,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, upd.astype(buf.dtype), start)
+
+
+@uniform_dus.def_vmap
+def _uniform_dus_vmap(axis_size, in_batched, buf, upd, idx):
+    assert not in_batched[2], "ring write index must be batch-uniform"
+    if not in_batched[0]:
+        buf = jnp.broadcast_to(buf, (axis_size,) + buf.shape)
+    if not in_batched[1]:
+        upd = jnp.broadcast_to(upd, (axis_size,) + upd.shape)
+    z = jnp.zeros((), jnp.int32)
+    start = (z, idx) + (z,) * (buf.ndim - 2)
+    return (
+        jax.lax.dynamic_update_slice(buf, upd.astype(buf.dtype), start),
+        True,
+    )
+
+
 def b_write_index(geo: BufferGeometry, n):
     return jnp.mod(_as_n(n), geo.num_blocks)
 
@@ -409,10 +443,8 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     if gain != 1.0:
         block = block * gain
     state = state.replace(
-        blocks=jax.lax.dynamic_update_slice(
-            state.blocks,
-            block.reshape(1, -1).astype(state.blocks.dtype),
-            (b_write_index(geo, n), 0),
+        blocks=uniform_dus(
+            state.blocks, block.reshape(1, -1), b_write_index(geo, n)
         )
     )
 
@@ -424,9 +456,7 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     state, ds = _decimate(geo, state, mono)
     # Decimated sub-block stored time-reversed at the write index (:389).
     state = state.replace(
-        lowrate=jax.lax.dynamic_update_slice(
-            state.lowrate, ds[::-1], (lr_write_index(geo, n),)
-        )
+        lowrate=uniform_dus(state.lowrate, ds[::-1], lr_write_index(geo, n))
     )
 
     X = aec3_fft.padded_fft(band0, state.prev_band0)  # (C, 65)
@@ -435,13 +465,9 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
         [X.real.reshape(1, -1), X.imag.reshape(1, -1)], axis=1
     )
     state = state.replace(
-        ffts=jax.lax.dynamic_update_slice(
-            state.ffts, X_planar.astype(state.ffts.dtype), (s_w, 0)
-        ),
-        spectra=jax.lax.dynamic_update_slice(
-            state.spectra,
-            aec3_fft.spectrum(X).reshape(1, -1).astype(state.spectra.dtype),
-            (s_w, 0),
+        ffts=uniform_dus(state.ffts, X_planar, s_w),
+        spectra=uniform_dus(
+            state.spectra, aec3_fft.spectrum(X).reshape(1, -1), s_w
         ),
         prev_band0=band0,
     )

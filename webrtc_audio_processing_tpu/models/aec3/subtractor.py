@@ -56,10 +56,18 @@ def analyzer_update(
     buf: rb.RenderView,
     delay_partitions,
     delay_valid,
+    spec_win=None,  # optional (W, C, 65) spectra window at the read pos
+    block0=None,  # optional (bands, 64, C) RenderBuffer::GetBlock(0)
 ):
-    """RenderSignalAnalyzer::Update (render_signal_analyzer.cc:121-131)."""
+    """RenderSignalAnalyzer::Update (render_signal_analyzer.cc:121-131).
+
+    When `spec_win`/`block0` are given, all ring reads come from those
+    consolidated windows (a direct spectrum_at/block_at is a full-ring
+    one-hot contraction per call under vmap)."""
     # IdentifySmallNarrowBandRegions (:24-50).
-    X2 = rb.spectrum_at(geo, buf, delay_partitions)  # (C, 65)
+    X2 = (rb.window_row(spec_win, delay_partitions)
+          if spec_win is not None
+          else rb.spectrum_at(geo, buf, delay_partitions))  # (C, 65)
     narrow = X2[:, 1:64] > 3.0 * jnp.maximum(X2[:, 0:63], X2[:, 2:65])
     any_narrow = jnp.any(narrow, axis=0)  # (63,)
     counters = jnp.where(
@@ -77,8 +85,9 @@ def analyzer_update(
         state.narrow_peak_band,
     )
 
-    block = rb.block_at(geo, buf, 0)  # (bands, 64, C)
-    X2_latest = rb.spectrum_at(geo, buf, 0)  # (C, 65)
+    block = block0 if block0 is not None else rb.block_at(geo, buf, 0)
+    X2_latest = (spec_win[0] if spec_win is not None
+                 else rb.spectrum_at(geo, buf, 0))  # (C, 65)
     peak_bins = jnp.argmax(X2_latest, axis=-1)  # (C,)
     ks = jnp.arange(NUM_BINS)
     lo_mask = (ks[None, :] >= jnp.maximum(0, peak_bins - 14)[:, None]) & (
