@@ -70,6 +70,6 @@ def test_bf16_ring_state_is_half_size():
     g32 = ec3.Aec3Geometry.create(cfg, 16000, 1, 1)
     s16 = ec3.init_state(g16)
     s32 = ec3.init_state(g32)
-    b16 = s16.buffer.blocks.nbytes + s16.buffer.spectra.nbytes + s16.buffer.ffts.nbytes
-    b32 = s32.buffer.blocks.nbytes + s32.buffer.spectra.nbytes + s32.buffer.ffts.nbytes
+    b16 = s16.buffer.blocks.nbytes + s16.buffer.sf.nbytes
+    b32 = s32.buffer.blocks.nbytes + s32.buffer.sf.nbytes
     assert b16 * 2 == b32, (b16, b32)

@@ -66,40 +66,65 @@ def main():
         state, y = step(state, frames, n0s + 5 * PAIRS)
         jax.block_until_ready(y)
 
-    # Parse the trace: sum device-op durations by name.
-    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    # Parse the xplane proto: the remote attachment's chrome-trace export
+    # omits device ops, but the XSpace TPU plane has every op with its
+    # duration and jax source line.
+    paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     if not paths:
-        print("no trace file found under", trace_dir)
+        print("no xplane file found under", trace_dir)
         return
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [p for p in xs.planes if "TPU" in p.name]
+    if not planes:
+        print("no TPU plane in xplane; planes:",
+              [p.name for p in xs.planes])
+        return
+    plane = planes[0]
+    emeta = plane.event_metadata
+    smeta = plane.stat_metadata
+    src = {}
+    for mid, md in emeta.items():
+        for st in md.stats:
+            if smeta[st.metadata_id].name == "source":
+                src[mid] = st.str_value or (
+                    st.ref_value and smeta[st.ref_value].name
+                ) or ""
     by_name = defaultdict(lambda: [0.0, 0])
+    by_src = defaultdict(float)
+    by_file = defaultdict(float)
     total = 0.0
-    for p in paths:
-        with gzip.open(p, "rt") as f:
-            data = json.load(f)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") != "X":
-                continue
-            # Device lanes only (skip python/host threads).
-            name = ev.get("name", "")
-            args = ev.get("args") or {}
-            if "device_duration_ps" in args or "long_name" in args or (
-                ev.get("pid") is not None and "tid" in ev
-            ):
-                pass
-            cat = args.get("group_id")
-            dur = ev.get("dur", 0) / 1e3  # us -> ms
-            if not name or name.startswith("$") or name.startswith("Thread"):
-                continue
-            key = name.split(".")[0]
-            by_name[key][0] += dur
-            by_name[key][1] += 1
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            name = emeta[ev.metadata_id].name
+            if name.startswith("%while"):
+                continue  # wrappers: their bodies are counted individually
+            dur = ev.duration_ps / 1e9  # ps -> ms
+            by_name[name.split(" = ")[0]][0] += dur
+            by_name[name.split(" = ")[0]][1] += 1
+            s = src.get(ev.metadata_id, "?")
+            tail = s.rsplit("/", 1)[-1] if s else "?"
+            by_src[tail] += dur
+            by_file[tail.split(":")[0]] += dur
             total += dur
-    rows = sorted(by_name.items(), key=lambda kv: -kv[1][0])[:40]
-    print(f"top ops by summed duration (ms) over one {PAIRS*2}-frame chunk, "
-          f"batch={batch}:")
-    for name, (dur, cnt) in rows:
-        print(f"  {dur:9.3f} ms  x{cnt:<6d} {name[:100]}")
-    print(f"total traced: {total:.1f} ms")
+    print(f"device total {total:.1f} ms over one {PAIRS*2}-frame chunk, "
+          f"batch={batch}")
+    print("\nby source file:")
+    for k, v in sorted(by_file.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {v:8.1f} ms  {k}")
+    print("\ntop 40 source lines:")
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"  {v:8.2f} ms  {k}")
+    print("\ntop 30 ops:")
+    for name, (dur, cnt) in sorted(
+        by_name.items(), key=lambda kv: -kv[1][0]
+    )[:30]:
+        print(f"  {dur:9.3f} ms x{cnt:<6d} {name[:110]}")
 
 
 if __name__ == "__main__":

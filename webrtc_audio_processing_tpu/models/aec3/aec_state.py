@@ -225,9 +225,9 @@ def filter_analyzer_update(
         )  # (C,)
         x_aligned = rb._take_rows(
             buf.state.blocks, aligned_idx, geo.num_blocks
-        ).reshape((aligned_idx.shape[0],) + geo.block_row_shape)[
-            :, 0
-        ]  # (C, 64, C_ren)
+        )[:, : geo.blocks_row_f].reshape(
+            (aligned_idx.shape[0],) + geo.block_row_shape
+        )[:, 0]  # (C, 64, C_ren)
     x_energy = jnp.sum(x_aligned**2, axis=1)  # (C, C_ren)
     active = jnp.any(
         x_energy
@@ -1076,7 +1076,7 @@ def update(
             jnp.mod(rb.b_read_index(geo, buf.state, buf.n) - min_delay,
                     geo.num_blocks)[None],
             geo.num_blocks,
-        )[0].reshape(geo.block_row_shape)
+        )[0, : geo.blocks_row_f].reshape(geo.block_row_shape)
     x_energy = jnp.sum(aligned[0] ** 2, axis=0)  # (C_ren,)
     active_render = jnp.any(
         x_energy > config.render_levels.active_render_limit**2 * BLOCK_SIZE
@@ -1108,14 +1108,14 @@ def update(
     audibility = state.echo_audibility
     if config.echo_audibility.use_stationarity_properties:
         audibility = ea.update(
-            audibility, buf.state.spectra,
+            audibility, buf.state.sf,
             rb.s_read_index(geo, buf.state, buf.n),
             rb.s_write_index(geo, buf.n),
-            geo.num_blocks,
+            geo,
             jnp.swapaxes(
-                buf.state.blocks[rb.b_write_index(geo, buf.n)].reshape(
-                    geo.block_row_shape
-                )[0].astype(jnp.float32), 0, 1
+                buf.state.blocks[rb.b_write_index(geo, buf.n)][
+                    : geo.blocks_row_f
+                ].reshape(geo.block_row_shape)[0].astype(jnp.float32), 0, 1
             ).T,
             reverb.reverb, min_delay, rb.headroom(geo, buf.state),
             external_delay_valid,

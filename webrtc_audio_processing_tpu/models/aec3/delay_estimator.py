@@ -25,7 +25,18 @@ from flax import struct
 
 from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
 from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
-from webrtc_audio_processing_tpu.ops import pallas_mf
+from webrtc_audio_processing_tpu.ops import pallas_mf, pallas_pre_echo
+
+_PRE_ECHO_FNS: dict = {}
+
+
+def _pre_echo_fn(sub: int, taps: int):
+    key = (sub, taps)
+    fn = _PRE_ECHO_FNS.get(key)
+    if fn is None:
+        fn = pallas_pre_echo.make_pre_echo(sub, taps, ACC_ERR_RATE)
+        _PRE_ECHO_FNS[key] = fn
+    return fn
 
 BLOCK_SIZE = 64
 BLOCK_SIZE_LOG2 = 6
@@ -323,37 +334,16 @@ def matched_filter_update(
         # the NLMS steps: s_partial[i, c] = chunkprefix(h_i . x_i) with
         # h_i = h0 + sum_{j<i} a_j x_j (matches the reference's in-loop
         # accumulation exactly up to fp reordering). Only the winner's
-        # (sub, L) window set materializes; its segment comes from the
-        # NLMS core's gathered windows (no per-stream dynamic slice).
+        # segment is selected; on TPU a Pallas kernel keeps it
+        # VMEM-resident instead of materializing the (sub, L) window
+        # stacks (ops/pallas_pre_echo.py).
         seg_w = jnp.sum(jnp.where(row_oh, segs, 0.0), axis=0)
-        xw_w = jnp.stack(
-            [seg_w[sub - 1 - i : sub - 1 - i + length] for i in range(sub)]
-        )  # (sub, L)
         h0_w = jnp.sum(jnp.where(row_oh, state.filters, 0.0), axis=0)
         alpha_w = jnp.sum(
             jnp.where(row_oh, alphas, 0.0), axis=0
         )  # (sub,)
-        # Prefix sums as triangular matmuls: jnp.cumsum over these small
-        # axes lowers to a multi-pass scan on TPU (~10x the bandwidth
-        # bound); a constant triangular contraction is a single MXU pass.
-        inclusive = jnp.asarray(
-            np.tril(np.ones((acc_chunks, acc_chunks), np.float32)).T
-        )  # [c, d] = 1 for c <= d
-        strict = jnp.asarray(
-            np.tril(np.ones((sub, sub), np.float32), k=-1)
-        )  # [s, t] = 1 for t < s
-        P0 = (
-            (h0_w[None, :] * xw_w).reshape(sub, acc_chunks, ACC_ERR_RATE)
-            .sum(-1) @ inclusive
-        )  # (sub, chunks)
-        wa = alpha_w[:, None] * xw_w
-        Wex = strict @ wa  # strict prefix over samples
-        PW = (
-            (Wex * xw_w).reshape(sub, acc_chunks, ACC_ERR_RATE).sum(-1)
-            @ inclusive
-        )
-        s_partial = P0 + PW
-        inst_sel = jnp.sum((y[:, None] - s_partial) ** 2, axis=0)
+        inst_fn = _pre_echo_fn(sub, length)
+        inst_sel = inst_fn(seg_w, h0_w, alpha_w, y)  # (chunks,)
         err_norm = inst_sel / jnp.maximum(error_sum_anchor, 1e-30)
         cur = jnp.sum(jnp.where(row_oh, acc_err, 0.0), axis=0)
         new_row = jnp.where(

@@ -91,20 +91,20 @@ def _noise_update(st: StationarityState, avg_spectrum):
     return st.replace(noise_spectrum=noise, block_counter=counter)
 
 
-def _update_stationarity_flags(st: StationarityState, spectra, s_read,
-                               num_blocks, average_reverb, delay_blocks,
+def _update_stationarity_flags(st: StationarityState, sf, s_read,
+                               geo, average_reverb, delay_blocks,
                                headroom):
     """UpdateStationarityFlags (stationarity_estimator.cc:45-78) with the
     13-spectrum window centered to use the available lookahead."""
     lookahead = jnp.clip(headroom - delay_blocks + 1, 0,
                          WINDOW_LENGTH - 1)
-    offsets = delay_blocks - lookahead + jnp.arange(WINDOW_LENGTH)
-    idx = jnp.mod(s_read + offsets, num_blocks)
+    start = jnp.mod(s_read + delay_blocks - lookahead, geo.num_blocks)
     from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
 
-    # spectra is the flat (L, C*65) ring; reshape the taken rows.
-    window = rb._take_rows(spectra, idx, num_blocks).reshape(
-        (WINDOW_LENGTH, -1, 65)
+    # sf is the flat mirrored packed ring; the 13-row spectrum window is a
+    # contiguous span starting at `start` (ascending offsets).
+    window = rb._sf_spectrum(
+        geo, rb._span(sf, start, WINDOW_LENGTH)
     )  # (13, C, 65)
     acum = jnp.sum(jnp.mean(window, axis=1), axis=0) + average_reverb
     noise = WINDOW_LENGTH * st.noise_spectrum
@@ -123,15 +123,18 @@ def _update_stationarity_flags(st: StationarityState, spectra, s_read,
     return st.replace(flags=smooth, hangovers=hang)
 
 
-def update(state: EchoAudibilityState, spectra, s_read, s_write,
-           num_blocks, newest_block_band0, average_reverb, delay_blocks,
+def update(state: EchoAudibilityState, sf, s_read, s_write,
+           geo, newest_block_band0, average_reverb, delay_blocks,
            headroom, external_delay_seen,
            use_render_stationarity_at_init: bool):
     """EchoAudibility::Update (echo_audibility.cc:26-37), one block.
 
     In the paired-step design exactly one render spectrum is inserted per
     capture block, so the write-pointer walk collapses to the newest
-    spectrum (index s_write). newest_block_band0: (64, C)."""
+    spectrum (index s_write). sf: the packed fft+spectrum ring.
+    newest_block_band0: (64, C)."""
+    from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
+
     st = state.stationarity
     # IsRenderTooLow on the newest block (echo_audibility.cc:84-112).
     too_low = jnp.max(jnp.abs(newest_block_band0)) < 10.0
@@ -140,7 +143,8 @@ def update(state: EchoAudibilityState, spectra, s_read, s_write,
     )
 
     newest = jnp.mean(
-        spectra[s_write].reshape(-1, 65).astype(jnp.float32), axis=0
+        rb._sf_spectrum(geo, sf[s_write][None])[0].astype(jnp.float32),
+        axis=0,
     )  # (65,)
     st_upd = _noise_update(st, newest)
     st = jax.tree_util.tree_map(
@@ -149,7 +153,7 @@ def update(state: EchoAudibilityState, spectra, s_read, s_write,
 
     do_flags = external_delay_seen | use_render_stationarity_at_init
     st_flags = _update_stationarity_flags(
-        st, spectra, s_read, num_blocks, average_reverb, delay_blocks,
+        st, sf, s_read, geo, average_reverb, delay_blocks,
         headroom,
     )
     st = jax.tree_util.tree_map(

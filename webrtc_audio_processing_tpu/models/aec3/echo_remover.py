@@ -760,11 +760,14 @@ def process_capture(
         + max(config.echo_model.render_post_window_size, 1) + 1,
         geo.num_blocks,
     )
-    spec_win = rb.spectrum_window(geo, buf, spec_win_len)
+    # One DMA serves both the spectrum window and the FFT window (the
+    # packed sf ring shares their write index and read start).
+    sf_rows = rb.sf_window(geo, buf, spec_win_len)
+    spec_win = rb._sf_spectrum(geo, sf_rows)
+    X_window = rb._sf_fft(geo, sf_rows[:p_ref_max])
     blocks_win = rb.block_window_back(
         geo, buf, min(delay_bound, geo.num_blocks)
     )
-    X_window = rb.fft_window(geo, buf, p_ref_max)
     # block_window_back row 0 is b_read_index + 0 == RenderBuffer::GetBlock(0).
     x_block = blocks_win[0]
 

@@ -36,7 +36,7 @@ from flax import struct
 
 from webrtc_audio_processing_tpu.models.aec3 import fft as aec3_fft
 from webrtc_audio_processing_tpu.models.aec3.config import EchoCanceller3Config
-from webrtc_audio_processing_tpu.ops import biquad
+from webrtc_audio_processing_tpu.ops import biquad, pallas_span
 
 BLOCK_SIZE = 64
 NUM_BINS = 65
@@ -92,6 +92,12 @@ class BufferGeometry:
     num_blocks: int  # L: block/spectrum/fft ring length
     ds_size: int  # low-rate ring length (samples)
     buffer_headroom: int  # refined filter length
+    # Mirror rows appended to each ring: rows [L, L+pad) duplicate rows
+    # [0, pad) so that every window read — all are *contiguous* spans of
+    # ring rows [start, start+W), W <= pad+1 — needs no wrap handling and
+    # can be a single per-stream DMA (ops/pallas_span.py). `ring_write`
+    # maintains the mirror on insert.
+    pad: int = 0
     # Storage dtype for the three large ring buffers (blocks/spectra/ffts).
     # "float32" (default) is reference-exact; "bfloat16" halves the
     # dominant per-stream HBM state (~500 KB -> ~250 KB at 48 kHz stereo)
@@ -105,17 +111,43 @@ class BufferGeometry:
                num_channels: int,
                ring_dtype: str = "float32") -> "BufferGeometry":
         ds = config.delay.down_sampling_factor
+        num_blocks = get_render_delay_buffer_size(
+            ds, config.delay.num_filters,
+            config.filter.refined.length_blocks)
+        # Maximum contiguous window width any reader uses (the same
+        # formulas as echo_remover's consolidated windows plus the
+        # stationarity estimator's 13-row window); pad = maxW - 1.
+        p_ref_max = max(config.filter.refined.length_blocks,
+                        config.filter.refined_initial.length_blocks)
+        p_coarse_max = max(config.filter.coarse.length_blocks,
+                           config.filter.coarse_initial.length_blocks)
+        headroom_blocks = int(config.delay.delay_headroom_samples) // BLOCK_SIZE
+        delay_bound = max(config.filter.refined.length_blocks,
+                          headroom_blocks + 1)
+        spec_win_len = min(
+            max(p_ref_max, delay_bound + 2)
+            + max(config.echo_model.render_post_window_size, 1) + 1,
+            num_blocks,
+        )
+        max_w = max(spec_win_len, min(delay_bound, num_blocks),
+                    p_ref_max, p_coarse_max, 13)
+        # The span-gather DMA loads 8-row-aligned wide windows
+        # (pallas_span.aligned_rows); size the mirror so the widest
+        # aligned load from any start < L stays in bounds.
+        lp = max(
+            ((num_blocks - 1) // 8) * 8 + pallas_span.aligned_rows(max_w),
+            num_blocks,
+        )
         return BufferGeometry(
             num_bands=sample_rate_hz // 16000,
             num_channels=num_channels,
             down_sampling_factor=ds,
             sub_block_size=BLOCK_SIZE // ds,
-            num_blocks=get_render_delay_buffer_size(
-                ds, config.delay.num_filters,
-                config.filter.refined.length_blocks),
+            num_blocks=num_blocks,
             ds_size=get_down_sampled_buffer_size(ds, config.delay.num_filters),
             buffer_headroom=config.filter.refined.length_blocks,
             ring_dtype=ring_dtype,
+            pad=min(lp - num_blocks, num_blocks),
         )
 
     @property
@@ -133,8 +165,34 @@ class BufferGeometry:
 
     @property
     def spec_row_shape(self) -> tuple:
-        """Logical shape of one `spectra`/`ffts` ring row."""
+        """Logical shape of one spectrum / FFT-plane ring row."""
         return (self.num_channels, NUM_BINS)
+
+    # ---- flat row widths. The span-gather DMA (ops/pallas_span.py)
+    # requires lane (last-dim) widths that are multiples of 128, so the
+    # stored rows are zero-padded to `*_row_fp`; the FFT planes and the
+    # spectrum share one ring row ([re | im | spectrum | 0-pad]) since
+    # they are written at the same index and read from the same start.
+
+    @property
+    def blocks_row_f(self) -> int:
+        return self.num_bands * BLOCK_SIZE * self.num_channels
+
+    @property
+    def blocks_row_fp(self) -> int:
+        return ((self.blocks_row_f + 127) // 128) * 128
+
+    @property
+    def fft_row_f(self) -> int:
+        return 2 * self.num_channels * NUM_BINS
+
+    @property
+    def spec_row_f(self) -> int:
+        return self.num_channels * NUM_BINS
+
+    @property
+    def sf_row_fp(self) -> int:
+        return ((self.fft_row_f + self.spec_row_f + 127) // 128) * 128
 
 
 @struct.dataclass
@@ -149,20 +207,22 @@ class AlignmentMixerState:
 
 @struct.dataclass
 class RenderDelayBufferState:
-    # The rings are stored FLAT per row — (L, F) rather than (L, bands, 64,
-    # C) / (L, C, 65) — so that the uniform-index row write
-    # (dynamic-update-slice) and the one-hot matmul reads agree on a single
-    # (batch-major, row-minor) layout. With the multi-dim row shapes XLA's
-    # layout assignment put the stream batch in the minor (lane) dimension
-    # for the scatter but row-major for the dot operands, materializing two
-    # whole-ring layout copies per inserted block (~70% of the 48 kHz step).
-    # `ffts` is stored PLANAR-REAL — (L, 2*C*65) with the real plane first
-    # — rather than complex64: it keeps the ring in the (optionally
-    # bfloat16) ring dtype and lets the one-hot window read be a single
-    # real matmul instead of two.
-    blocks: jnp.ndarray  # (L, bands*64*C) flat rows
-    spectra: jnp.ndarray  # (L, C*65) flat rows
-    ffts: jnp.ndarray  # (L, 2*C*65) flat rows: [real | imag]
+    # The rings are stored FLAT per row — (L+pad, F) rather than (L, bands,
+    # 64, C) / (L, C, 65):
+    #  * flat rows keep one (batch-major, row-minor) layout for both the
+    #    uniform-index row write (dynamic-update-slice) and the span-gather
+    #    window reads (with multi-dim rows XLA's layout assignment
+    #    materialized whole-ring copies per inserted block);
+    #  * rows [L, L+pad) mirror rows [0, pad) so every window read is one
+    #    contiguous per-stream DMA (ops/pallas_span.py), wrap-free;
+    #  * row widths are zero-padded to 128-lane multiples (the DMA slice
+    #    alignment requirement), and the FFT planes + spectrum pack into
+    #    ONE row ([re | im | spectrum | 0]) — same write index, same read
+    #    start, one DMA serves both windows;
+    #  * the FFT planes are PLANAR-REAL rather than complex64: the ring
+    #    keeps the (optionally bfloat16) ring dtype.
+    blocks: jnp.ndarray  # (L+pad, blocks_row_fp) flat rows
+    sf: jnp.ndarray  # (L+pad, sf_row_fp): [fft re | fft im | spectrum | 0]
     lowrate: jnp.ndarray  # (DS,)
     b_delay: jnp.ndarray  # () int32: (b_write - b_read) mod L
     lr_latency: jnp.ndarray  # () int32: (lr_read - lr_write) mod DS, samples
@@ -237,6 +297,19 @@ def _uniform_dus_vmap(axis_size, in_batched, buf, upd, idx):
     )
 
 
+def ring_write(geo: BufferGeometry, buf, row, idx):
+    """Write one ring row at batch-uniform `idx`, maintaining the mirror.
+
+    Rows [L, L+pad) duplicate rows [0, pad) so window reads are contiguous
+    spans. When idx >= pad the second write lands on the same row (same
+    data — a cheap no-op) which keeps the index batch-uniform."""
+    buf = uniform_dus(buf, row, idx)
+    if geo.pad == 0:
+        return buf
+    mirror = idx + jnp.where(idx < geo.pad, geo.num_blocks, 0)
+    return uniform_dus(buf, row, mirror)
+
+
 def b_write_index(geo: BufferGeometry, n):
     return jnp.mod(_as_n(n), geo.num_blocks)
 
@@ -268,15 +341,10 @@ def init_state(geo: BufferGeometry, config: EchoCanceller3Config,
     aa_sections = 3 if geo.down_sampling_factor == 4 else 5
     nr_sections = 0 if geo.down_sampling_factor == 8 else 1
     ring_dtype = geo.ring_jnp_dtype
+    rows = geo.num_blocks + geo.pad  # mirrored rings (see BufferGeometry.pad)
     state = RenderDelayBufferState(
-        blocks=jnp.zeros(
-            (geo.num_blocks, geo.num_bands * BLOCK_SIZE * geo.num_channels),
-            ring_dtype,
-        ),
-        spectra=jnp.zeros((geo.num_blocks, geo.num_channels * NUM_BINS),
-                          ring_dtype),
-        ffts=jnp.zeros((geo.num_blocks, 2 * geo.num_channels * NUM_BINS),
-                       ring_dtype),
+        blocks=jnp.zeros((rows, geo.blocks_row_fp), ring_dtype),
+        sf=jnp.zeros((rows, geo.sf_row_fp), ring_dtype),
         lowrate=jnp.zeros((geo.ds_size,), dtype),
         b_delay=jnp.asarray(0, jnp.int32),
         lr_latency=jnp.asarray(0, jnp.int32),
@@ -442,10 +510,15 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     gain = 10.0 ** (config.render_levels.render_power_gain_db / 20.0)
     if gain != 1.0:
         block = block * gain
-    state = state.replace(
-        blocks=uniform_dus(
-            state.blocks, block.reshape(1, -1), b_write_index(geo, n)
+    block_row = block.reshape(1, -1)
+    if geo.blocks_row_fp > geo.blocks_row_f:
+        block_row = jnp.concatenate(
+            [block_row,
+             jnp.zeros((1, geo.blocks_row_fp - geo.blocks_row_f),
+                       block_row.dtype)], axis=1,
         )
+    state = state.replace(
+        blocks=ring_write(geo, state.blocks, block_row, b_write_index(geo, n))
     )
 
     band0 = jnp.swapaxes(block[0], 0, 1)  # (C, 64)
@@ -461,14 +534,15 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
 
     X = aec3_fft.padded_fft(band0, state.prev_band0)  # (C, 65)
     s_w = s_write_index(geo, n)
-    X_planar = jnp.concatenate(
-        [X.real.reshape(1, -1), X.imag.reshape(1, -1)], axis=1
-    )
+    parts = [
+        X.real.reshape(1, -1), X.imag.reshape(1, -1),
+        aec3_fft.spectrum(X).reshape(1, -1),
+    ]
+    used = geo.fft_row_f + geo.spec_row_f
+    if geo.sf_row_fp > used:
+        parts.append(jnp.zeros((1, geo.sf_row_fp - used), X.real.dtype))
     state = state.replace(
-        ffts=uniform_dus(state.ffts, X_planar, s_w),
-        spectra=uniform_dus(
-            state.spectra, aec3_fft.spectrum(X).reshape(1, -1), s_w
-        ),
+        sf=ring_write(geo, state.sf, jnp.concatenate(parts, axis=1), s_w),
         prev_band0=band0,
     )
 
@@ -603,15 +677,35 @@ class RenderView(NamedTuple):
     n: jnp.ndarray
 
 
+_SPAN_GATHERS: dict = {}
+
+
+def _span(buf, start, W):
+    """Contiguous-span row read [start, start+W) of a mirrored ring.
+
+    buf: (L+pad, F); start: () int32 in [0, L). On TPU this is a
+    per-stream DMA of exactly the W rows (ops/pallas_span.py); elsewhere a
+    dynamic_slice. Returns (W, F) upcast to at least f32 (bf16 rings are
+    quantized storage only — reads rejoin the f32 arithmetic)."""
+    g = _SPAN_GATHERS.get(W)
+    if g is None:
+        g = pallas_span.make_span_gather(W)
+        _SPAN_GATHERS[W] = g
+    out = g(buf, start)
+    return out.astype(jnp.promote_types(buf.dtype, jnp.float32))
+
+
 def _take_rows(buf, rows, L):
-    """Row gather as a one-hot contraction.
+    """Arbitrary-row gather as a one-hot contraction (cold paths only —
+    the hot-path window reads are contiguous spans served by _span).
 
     A dynamic-index gather with per-stream indices is expanded by XLA:TPU
     into a serial loop over the batch under vmap; a one-hot matmul rides
-    the MXU instead. buf: (L, ...); rows: (R,) int32 already reduced
-    mod L. Returns (R, ...)."""
-    oh = (rows[:, None] == jnp.arange(L)).astype(jnp.float32)  # (R, L)
-    flat = buf.reshape(L, -1)
+    the MXU instead. buf: (L + pad, ...) mirrored ring; rows: (R,) int32
+    already reduced mod L. Returns (R, ...)."""
+    LP = buf.shape[0]
+    oh = (rows[:, None] == jnp.arange(LP)).astype(jnp.float32)  # (R, LP)
+    flat = buf.reshape(LP, -1)
     # Precision HIGHEST keeps the contraction in f32: with the default
     # (bf16) precision XLA:TPU maintains an incremental bf16 *shadow* of
     # the whole ring (a second DUS + copy per insert) just to feed these
@@ -632,30 +726,42 @@ def _take_rows(buf, rows, L):
     return out.reshape((rows.shape[0],) + buf.shape[1:])
 
 
+def _sf_fft(geo: BufferGeometry, rows):
+    """FFT planes of packed sf rows: (W, fp) -> (W, C, 65) complex."""
+    planar = rows[:, : geo.fft_row_f].reshape(
+        (rows.shape[0], 2) + geo.spec_row_shape
+    )
+    return jax.lax.complex(planar[:, 0], planar[:, 1])
+
+
+def _sf_spectrum(geo: BufferGeometry, rows):
+    """Spectrum part of packed sf rows: (W, fp) -> (W, C, 65)."""
+    return rows[
+        :, geo.fft_row_f : geo.fft_row_f + geo.spec_row_f
+    ].reshape((rows.shape[0],) + geo.spec_row_shape)
+
+
+def sf_window(geo: BufferGeometry, view: RenderView, width: int):
+    """One DMA for both the FFT and spectrum windows at the read position.
+
+    Returns the packed (width, sf_row_fp) rows; slice with _sf_fft /
+    _sf_spectrum."""
+    assert width <= geo.pad + 1, (width, geo.pad)
+    start = s_read_index(geo, view.state, view.n)
+    return _span(view.state.sf, start, width)
+
+
 def fft_window(geo: BufferGeometry, view: RenderView, num_partitions: int):
     """The `num_partitions` FFTs starting at Position() (newest first).
 
     Returns (P, C, 65) complex."""
-    idx = jnp.mod(
-        s_read_index(geo, view.state, view.n) + jnp.arange(num_partitions),
-        geo.num_blocks,
-    )
-    planar = _take_rows(view.state.ffts, idx, geo.num_blocks).reshape(
-        (num_partitions, 2) + geo.spec_row_shape
-    )
-    return jax.lax.complex(planar[:, 0], planar[:, 1])
+    return _sf_fft(geo, sf_window(geo, view, num_partitions))
 
 
 def spectrum_window(geo: BufferGeometry, view: RenderView,
                     num_partitions: int):
     """(P, C, 65) spectra starting at the read position."""
-    idx = jnp.mod(
-        s_read_index(geo, view.state, view.n) + jnp.arange(num_partitions),
-        geo.num_blocks,
-    )
-    return _take_rows(view.state.spectra, idx, geo.num_blocks).reshape(
-        (num_partitions,) + geo.spec_row_shape
-    )
+    return _sf_spectrum(geo, sf_window(geo, view, num_partitions))
 
 
 def spectrum_at(geo: BufferGeometry, view: RenderView, offset):
@@ -663,9 +769,7 @@ def spectrum_at(geo: BufferGeometry, view: RenderView, offset):
     idx = jnp.mod(
         s_read_index(geo, view.state, view.n) + offset, geo.num_blocks
     )
-    return _take_rows(view.state.spectra, idx[None], geo.num_blocks)[
-        0
-    ].reshape(geo.spec_row_shape)
+    return _sf_spectrum(geo, _span(view.state.sf, idx, 1))[0]
 
 
 def block_window_back(geo: BufferGeometry, view: RenderView, W: int):
@@ -674,13 +778,15 @@ def block_window_back(geo: BufferGeometry, view: RenderView, W: int):
     One full-ring contraction serving every downstream aligned-block read
     (each full read of the (L, bands, 64, C) ring costs ~L/W times the
     traffic of the W rows actually needed)."""
-    idx = jnp.mod(
-        b_read_index(geo, view.state, view.n) - jnp.arange(W),
-        geo.num_blocks,
+    assert W <= geo.pad + 1, (W, geo.pad)
+    start = jnp.mod(
+        b_read_index(geo, view.state, view.n) - (W - 1), geo.num_blocks
     )
-    return _take_rows(view.state.blocks, idx, geo.num_blocks).reshape(
-        (W,) + geo.block_row_shape
-    )
+    # The span is ascending ring rows; the window contract is descending
+    # (row k = b_read - k), so flip.
+    return _span(view.state.blocks, start, W)[
+        ::-1, : geo.blocks_row_f
+    ].reshape((W,) + geo.block_row_shape)
 
 
 def window_row(win, offset):
@@ -713,8 +819,8 @@ def block_at(geo: BufferGeometry, view: RenderView, offset: int = 0):
     idx = jnp.mod(
         b_read_index(geo, view.state, view.n) + offset, geo.num_blocks
     )
-    return _take_rows(view.state.blocks, idx[None], geo.num_blocks)[
-        0
+    return _span(view.state.blocks, idx, 1)[
+        0, : geo.blocks_row_f
     ].reshape(geo.block_row_shape)
 
 
