@@ -66,11 +66,11 @@ def linear2loudness(rms):
 
 
 # LoudnessHistogram (loudness_histogram.cc:21-49): bin centers, log-domain
-# quantizer constants.
+# quantizer constants. The table is kHistBinCenters, a geometric sequence
+# 10^((n - 15) / 13.4) — i.e. 1 dB steps in the 13.4-scaled loudness log
+# domain (centers[15] == 1.0 exactly).
 HIST_SIZE = 77
-_HIST_BIN_CENTERS = 7.59621091765857e-02 * np.power(
-    10.0, np.arange(HIST_SIZE) / 13.5
-)
+_HIST_BIN_CENTERS = np.power(10.0, (np.arange(HIST_SIZE) - 15.0) / 13.4)
 HIST_BIN_CENTERS = _HIST_BIN_CENTERS
 LOG_DOMAIN_MIN_BIN_CENTER = -2.57752062648587
 LOG_DOMAIN_STEP_INV = 5.81954605750359
@@ -94,13 +94,20 @@ class LoudnessHistogramState:
     len_high_activity: jnp.ndarray  # () int32
 
 
-def init_histogram() -> LoudnessHistogramState:
+def init_histogram(window_size: int = HIST_WINDOW) -> LoudnessHistogramState:
+    """LoudnessHistogram::Create(window_size) (loudness_histogram.cc:171-181).
+
+    window_size=0 builds the non-circular variant (Create() without a
+    window): entries are never evicted and the low-probability/transient
+    logic is skipped, matching loudness_histogram.cc:129-153 where the
+    whole circular-buffer block is gated on len_circular_buffer_ > 0.
+    """
     return LoudnessHistogramState(
         bin_count_q10=jnp.zeros((HIST_SIZE,), jnp.int32),
         audio_content_q10=jnp.asarray(0, jnp.int32),
         num_updates=jnp.asarray(0, jnp.int32),
-        activity_probability=jnp.zeros((HIST_WINDOW,), jnp.int32),
-        hist_bin_index=jnp.zeros((HIST_WINDOW,), jnp.int32),
+        activity_probability=jnp.zeros((window_size,), jnp.int32),
+        hist_bin_index=jnp.zeros((window_size,), jnp.int32),
         buffer_index=jnp.asarray(0, jnp.int32),
         buffer_is_full=jnp.asarray(False),
         len_high_activity=jnp.asarray(0, jnp.int32),
@@ -123,7 +130,23 @@ def _get_bin_index(rms):
 
 
 def histogram_update(st: LoudnessHistogramState, rms, prob):
-    """Update (loudness_histogram.cc:93-160) including transient removal."""
+    """Update (loudness_histogram.cc:93-160) including transient removal.
+
+    The window size is static (the shape of st.activity_probability); a
+    zero-length window selects the reference's non-circular variant, where
+    the probability is accumulated as-is with no eviction or transient
+    removal (loudness_histogram.cc:129-153).
+    """
+    window = st.activity_probability.shape[0]
+    if window == 0:
+        hist_index = _get_bin_index(rms)
+        prob_q10 = jnp.floor(prob * PROB_Q_DOMAIN).astype(jnp.int32)
+        return st.replace(
+            bin_count_q10=st.bin_count_q10.at[hist_index].add(prob_q10),
+            audio_content_q10=st.audio_content_q10 + prob_q10,
+            num_updates=st.num_updates + 1,
+        )
+
     # Remove the oldest entry if the window is full.
     old_prob = st.activity_probability[st.buffer_index]
     old_bin = st.hist_bin_index[st.buffer_index]
@@ -143,7 +166,7 @@ def histogram_update(st: LoudnessHistogramState, rms, prob):
         st.len_high_activity <= TRANSIENT_WIDTH_THRESHOLD
     )
     back = jnp.arange(TRANSIENT_WIDTH_THRESHOLD)
-    idxs = jnp.mod(st.buffer_index - 1 - back, HIST_WINDOW)
+    idxs = jnp.mod(st.buffer_index - 1 - back, window)
     in_run = back < st.len_high_activity
     act = do_remove_transient & in_run
     probs_back = st.activity_probability[idxs]
@@ -166,8 +189,8 @@ def histogram_update(st: LoudnessHistogramState, rms, prob):
     new_act_prob = new_act_prob.at[st.buffer_index].set(prob_q10)
     new_bins = st.hist_bin_index.at[st.buffer_index].set(hist_index)
     nb_index = st.buffer_index + 1
-    full = st.buffer_is_full | (nb_index >= HIST_WINDOW)
-    nb_index = jnp.mod(nb_index, HIST_WINDOW)
+    full = st.buffer_is_full | (nb_index >= window)
+    nb_index = jnp.mod(nb_index, window)
 
     bc = bc.at[hist_index].add(prob_q10)
     content = content + prob_q10

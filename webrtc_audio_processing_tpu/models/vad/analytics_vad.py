@@ -1251,13 +1251,16 @@ def _ring_remove_transient(st: PitchBasedVadState):
     return st.replace(ring=ring, ring_sum=sum_)
 
 
-def pitch_based_voicing(st: PitchBasedVadState, features, p_combined):
+def pitch_based_voicing(st: PitchBasedVadState, features, p_combined,
+                        num_frames: int = NUM_10MS_SUBFRAMES):
     """PitchBasedVad::VoicingProbability (pitch_based_vad.cc:101-147).
 
-    features: dict from extract_features; p_combined: (3,) standalone
-    probabilities. Returns (state, p_combined')."""
+    features: dict from extract_features; p_combined: (num_frames,)
+    standalone probabilities. num_frames is static (the reference's
+    features.num_frames; 3 in the APM pipeline, 1 in the golden-vector
+    harness pitch_based_vad_unittest.cc:48-67). Returns (state, p')."""
     outs = []
-    for n in range(NUM_10MS_SUBFRAMES):
+    for n in range(num_frames):
         x = jnp.stack([
             features["log_pitch_gain"][n],
             features["spectral_peak"][n],

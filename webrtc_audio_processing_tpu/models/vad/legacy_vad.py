@@ -197,9 +197,12 @@ def _log_of_energy(x, length: int, offset: int, total_energy):
     log_e = jnp.maximum(log_e, 0) + offset
     log_e = jnp.where(zero, offset, log_e)
 
-    # total_energy update (only while <= kMinEnergy).
+    # total_energy update (only while <= kMinEnergy). The branch condition
+    # uses the post-normalization shift count: the reference accumulates
+    # normalizing_rshifts into tot_rshifts before this block
+    # (vad_filterbank.c:184,236-247).
     add = jnp.where(
-        tot_rshifts >= 0,
+        tot >= 0,
         MIN_ENERGY + 1,
         e_norm >> jnp.clip(-tot, 0, 31),
     )
@@ -282,23 +285,28 @@ def find_minimum(state: VadState, features, power_ok):
     sv = state.low_value_vector  # (6, 16)
     age = state.index_vector
 
-    # Expire the (at most one) entry with age == 100; the entry right after
-    # it skips this frame's aging tick (literal C loop behavior).
-    expired = age == 100
-    has_exp = jnp.any(expired, axis=1)
-    p = jnp.argmax(expired, axis=1)  # first expired index (per channel)
+    # Aging/expiry: the literal 16-step C loop (vad_sp.c:76-90), unrolled
+    # statically and vectorized over channels. Sequential semantics matter:
+    # several entries can hold age == 100 in the same call (a mid-array
+    # expiry makes the entry shifted into its slot skip that call's aging
+    # tick, desynchronizing ages), and each expiry shifts the suffix down
+    # so the following original entry is never visited this call.
     idx = jnp.arange(16)[None, :]
-    pcol = p[:, None]
-    src = jnp.where(idx >= pcol, jnp.minimum(idx + 1, 15), idx)
-    sv_shift = jnp.take_along_axis(sv, src, axis=1)
-    age_shift = jnp.take_along_axis(age, src, axis=1)
-    aged = jnp.where(idx == pcol, age_shift, age_shift + 1)
-    sv2 = jnp.where(has_exp[:, None],
-                    jnp.where(idx == 15, 10000, sv_shift),
-                    sv)
-    age2 = jnp.where(has_exp[:, None],
-                     jnp.where(idx == 15, 102, aged),
-                     age + 1)
+    sv2, age2 = sv, age
+    for i in range(16):
+        expire = age2[:, i : i + 1] == 100
+        sv_roll = jnp.concatenate([sv2[:, 1:], sv2[:, :1]], axis=1)
+        age_roll = jnp.concatenate([age2[:, 1:], age2[:, :1]], axis=1)
+        shifted_sv = jnp.where(
+            idx >= i, jnp.where(idx == 15, 10000, sv_roll), sv2
+        )
+        shifted_age = jnp.where(
+            idx >= i, jnp.where(idx == 15, 101, age_roll), age2
+        )
+        sv2 = jnp.where(expire, shifted_sv, sv2)
+        age2 = jnp.where(
+            expire, shifted_age, jnp.where(idx == i, age2 + 1, age2)
+        )
 
     # Insert feature if smaller than one of the 16 (strictly smaller than
     # the successor, i.e. first index with feature < sv[index]).
