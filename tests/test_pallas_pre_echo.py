@@ -54,6 +54,58 @@ def test_pre_echo_kernel_matches_references():
     np.testing.assert_allclose(kern / scale, scan / scale, atol=2e-4)
 
 
+def test_pre_echo_transposed_kernel_matches_scan():
+    # B=128 routes make_pre_echo's vmap through the transposed
+    # (streams-on-lanes) kernel; check against the reference-order scan.
+    sub, taps, rate, B = 16, 512, 4, 128
+    rng = np.random.default_rng(7)
+    seg = rng.standard_normal((B, sub - 1 + taps)).astype(np.float32)
+    h0 = (rng.standard_normal((B, taps)) * 0.1).astype(np.float32)
+    alphas = (rng.standard_normal((B, sub)) * 0.01).astype(np.float32)
+    y = rng.standard_normal((B, sub)).astype(np.float32)
+    scan = np.asarray(
+        jax.vmap(
+            lambda s, h, a, yy: ppe.pre_echo_inst_xla(
+                s, h, a, yy, sub=sub, taps=taps, acc_rate=rate
+            )
+        )(seg, h0, alphas, y)
+    )
+    kern = np.asarray(
+        ppe._pre_echo_tpu_t(
+            jnp.asarray(seg), jnp.asarray(h0), jnp.asarray(alphas),
+            jnp.asarray(y), sub=sub, taps=taps, acc_rate=rate,
+            interpret=True,
+        )
+    )
+    scale = np.maximum(np.abs(scan), 1.0)
+    np.testing.assert_allclose(kern / scale, scan / scale, atol=2e-4)
+
+
+def test_pre_echo_transposed_kernel_ds8_geometry():
+    sub, taps, rate, B = 8, 256, 4, 128
+    rng = np.random.default_rng(8)
+    seg = rng.standard_normal((B, sub - 1 + taps)).astype(np.float32)
+    h0 = (rng.standard_normal((B, taps)) * 0.1).astype(np.float32)
+    alphas = (rng.standard_normal((B, sub)) * 0.01).astype(np.float32)
+    y = rng.standard_normal((B, sub)).astype(np.float32)
+    scan = np.asarray(
+        jax.vmap(
+            lambda s, h, a, yy: ppe.pre_echo_inst_xla(
+                s, h, a, yy, sub=sub, taps=taps, acc_rate=rate
+            )
+        )(seg, h0, alphas, y)
+    )
+    kern = np.asarray(
+        ppe._pre_echo_tpu_t(
+            jnp.asarray(seg), jnp.asarray(h0), jnp.asarray(alphas),
+            jnp.asarray(y), sub=sub, taps=taps, acc_rate=rate,
+            interpret=True,
+        )
+    )
+    scale = np.maximum(np.abs(scan), 1.0)
+    np.testing.assert_allclose(kern / scale, scan / scale, atol=2e-4)
+
+
 def test_pre_echo_kernel_ds8_geometry():
     # 8 kHz-path geometry: sub=8, shorter filters.
     sub, taps, rate, B = 8, 256, 4, 5

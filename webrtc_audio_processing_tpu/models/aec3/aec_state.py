@@ -1108,7 +1108,7 @@ def update(
     audibility = state.echo_audibility
     if config.echo_audibility.use_stationarity_properties:
         audibility = ea.update(
-            audibility, buf.state.sf,
+            audibility, buf,
             rb.s_read_index(geo, buf.state, buf.n),
             rb.s_write_index(geo, buf.n),
             geo,

@@ -717,12 +717,13 @@ def _decimate_capture(geo: DelayGeometry, state, x):
         aa_b, aa_a = rb._LOW_PASS_DS4_B, rb._LOW_PASS_DS4_A
     else:
         aa_b, aa_a = rb._BAND_PASS_DS8_B, rb._BAND_PASS_DS8_A
-    new_aa, y = biquad.process(
-        jnp.asarray(aa_b), jnp.asarray(aa_a), state.capture_decimator_aa, x
-    )
+    # Host-numpy coefficients (not jnp.asarray): staged constants read as
+    # tracers and would force biquad.process onto its per-sample scan
+    # fallback instead of the Pallas cascade kernel.
+    new_aa, y = biquad.process(aa_b, aa_a, state.capture_decimator_aa, x)
     if geo.down_sampling_factor != 8:
         new_nr, y = biquad.process(
-            jnp.asarray(rb._HIGH_PASS_B), jnp.asarray(rb._HIGH_PASS_A),
+            rb._HIGH_PASS_B, rb._HIGH_PASS_A,
             state.capture_decimator_nr, y,
         )
     else:

@@ -91,7 +91,7 @@ def _noise_update(st: StationarityState, avg_spectrum):
     return st.replace(noise_spectrum=noise, block_counter=counter)
 
 
-def _update_stationarity_flags(st: StationarityState, sf, s_read,
+def _update_stationarity_flags(st: StationarityState, view, s_read,
                                geo, average_reverb, delay_blocks,
                                headroom):
     """UpdateStationarityFlags (stationarity_estimator.cc:45-78) with the
@@ -104,7 +104,7 @@ def _update_stationarity_flags(st: StationarityState, sf, s_read,
     # sf is the flat mirrored packed ring; the 13-row spectrum window is a
     # contiguous span starting at `start` (ascending offsets).
     window = rb._sf_spectrum(
-        geo, rb._span(sf, start, WINDOW_LENGTH)
+        geo, rb.sf_span(geo, view, start, WINDOW_LENGTH)
     )  # (13, C, 65)
     acum = jnp.sum(jnp.mean(window, axis=1), axis=0) + average_reverb
     noise = WINDOW_LENGTH * st.noise_spectrum
@@ -123,7 +123,7 @@ def _update_stationarity_flags(st: StationarityState, sf, s_read,
     return st.replace(flags=smooth, hangovers=hang)
 
 
-def update(state: EchoAudibilityState, sf, s_read, s_write,
+def update(state: EchoAudibilityState, view, s_read, s_write,
            geo, newest_block_band0, average_reverb, delay_blocks,
            headroom, external_delay_seen,
            use_render_stationarity_at_init: bool):
@@ -131,7 +131,8 @@ def update(state: EchoAudibilityState, sf, s_read, s_write,
 
     In the paired-step design exactly one render spectrum is inserted per
     capture block, so the write-pointer walk collapses to the newest
-    spectrum (index s_write). sf: the packed fft+spectrum ring.
+    spectrum (index s_write). view: the RenderView (sf ring + staged
+    rows; reads go through rb.sf_span so staged rows overlay).
     newest_block_band0: (64, C)."""
     from webrtc_audio_processing_tpu.models.aec3 import render_buffer as rb
 
@@ -143,7 +144,9 @@ def update(state: EchoAudibilityState, sf, s_read, s_write,
     )
 
     newest = jnp.mean(
-        rb._sf_spectrum(geo, sf[s_write][None])[0].astype(jnp.float32),
+        rb._sf_spectrum(
+            geo, rb.sf_span(geo, view, s_write, 1)
+        )[0].astype(jnp.float32),
         axis=0,
     )  # (65,)
     st_upd = _noise_update(st, newest)
@@ -153,7 +156,7 @@ def update(state: EchoAudibilityState, sf, s_read, s_write,
 
     do_flags = external_delay_seen | use_render_stationarity_at_init
     st_flags = _update_stationarity_flags(
-        st, sf, s_read, geo, average_reverb, delay_blocks,
+        st, view, s_read, geo, average_reverb, delay_blocks,
         headroom,
     )
     st = jax.tree_util.tree_map(

@@ -181,6 +181,7 @@ def _process_capture_block(
     capture_block,  # (bands, 64, C_cap)
     echo_path_gain_change,
     n,  # () int32 — uniform total insert count (see render_buffer.py)
+    pending_count: int = 0,  # static: staged sf rows (render_buffer.py)
 ):
     """BlockProcessorImpl::ProcessCapture (block_processor.cc:84-200) for one
     block. Returns (state, out_block, linear_block, taps)."""
@@ -238,7 +239,8 @@ def _process_capture_block(
 
     taps = {} if geo.debug_taps else None
     remover, out_block, linear = er.process_capture(
-        cfg, state.remover, geo.buffer, rb.RenderView(buffer, n),
+        cfg, state.remover, geo.buffer,
+        rb.RenderView(buffer, n, pending_count),
         capture_block,
         delay_change, echo_path_gain_change, state.saturated_microphone,
         est_delay, est_valid, nree=geo.nree, taps=taps,
@@ -324,8 +326,16 @@ def process_frame(
                                       parity)
     buffer = state.buffer
     event = state.render_event_pending
+    if parity == 0:
+        # Flush the previous pair's staged sf rows as one uninterrupted
+        # write chain (render_buffer.flush_sf_pending); this frame's and
+        # the odd frame's inserts stage into sf_pending and readers
+        # overlay them (RenderView.pending_count below).
+        buffer = rb.flush_sf_pending(geo.buffer, buffer, n0)
+    slot_base = 0 if parity == 0 else rb.PAIR_BLOCKS - len(r_blocks)
     for k, blk in enumerate(r_blocks):
-        buffer, ev = rb.insert(geo.buffer, cfg, buffer, blk, n0 + k + 1)
+        buffer, ev = rb.insert(geo.buffer, cfg, buffer, blk, n0 + k + 1,
+                               sf_slot=slot_base + k)
         event = jnp.maximum(event, ev)
     state = state.replace(
         buffer=buffer, render_blocker_carry=r_carry,
@@ -339,9 +349,10 @@ def process_frame(
     out_blocks = []
     linear_blocks = []
     taps = None
+    pending_count = 2 if parity == 0 else rb.PAIR_BLOCKS
     for blk in c_blocks:
         state, out_blk, linear, taps = _process_capture_block(
-            geo, state, blk, jnp.asarray(level_change), n
+            geo, state, blk, jnp.asarray(level_change), n, pending_count
         )
         out_blocks.append(out_blk)
         linear_blocks.append(jnp.swapaxes(linear, 0, 1)[None])  # (1, 64, C)

@@ -837,8 +837,14 @@ def process_capture(
     e, use_refined = _form_linear_filter_output(
         config, state.refined_last_selected, sub_out
     )
-    Y = afft.padded_fft(y0, state.y_old, "sqrt_hanning")
-    E = afft.padded_fft(e, state.e_old, "sqrt_hanning")
+    # One batched DFT for Y and E (independent transforms; each output row
+    # of the matmul-DFT is an independent dot, so values are bit-identical
+    # to two separate calls).
+    YE = afft.padded_fft(
+        jnp.stack([y0, e]), jnp.stack([state.y_old, state.e_old]),
+        "sqrt_hanning",
+    )
+    Y, E = YE[0], YE[1]
     S2_linear = afft.spectrum(Y - E)
     Y2 = afft.spectrum(Y)
     E2 = afft.spectrum(E)

@@ -223,6 +223,16 @@ class RenderDelayBufferState:
     #    keeps the (optionally bfloat16) ring dtype.
     blocks: jnp.ndarray  # (L+pad, blocks_row_fp) flat rows
     sf: jnp.ndarray  # (L+pad, sf_row_fp): [fft re | fft im | spectrum | 0]
+    # Write-behind staging for the sf ring: the 5 rows of one frame pair
+    # (2 for the even frame, 3 for the odd) accumulate here and are flushed
+    # into `sf` as one uninterrupted dynamic-update-slice chain at the START
+    # of the next pair (flush_sf_pending). Rationale: interleaving sf row
+    # writes with the async span-gather reads inside one jitted step made
+    # XLA's copy insertion materialize a full ring copy (B x 184 x 512,
+    # ~1.2 ms/frame-batch at B=1024) before each write group that followed
+    # a read group; with all writes in one chain and reads overlaid from
+    # this staging buffer (sf_span), the ring updates in place.
+    sf_pending: jnp.ndarray  # (5, sf_row_fp) float32
     lowrate: jnp.ndarray  # (DS,)
     b_delay: jnp.ndarray  # () int32: (b_write - b_read) mod L
     lr_latency: jnp.ndarray  # () int32: (lr_read - lr_write) mod DS, samples
@@ -244,6 +254,17 @@ class RenderDelayBufferState:
 EVENT_NONE = 0
 EVENT_RENDER_OVERRUN = 1
 EVENT_RENDER_UNDERRUN = 2
+
+# Blocks per 10 ms frame pair at the 16 kHz band rate: 2 on the even frame
+# + 3 on the odd (echo_canceller3.py _split_blocks) — the size of the sf
+# write-behind staging buffer.
+PAIR_BLOCKS = 5
+
+# Scratch rows past the mirror region: ring_write_group dumps its second
+# dynamic-update-slice here when neither the mirror nor the wrap case
+# applies, and mirror-case writes may spill up to PAIR_BLOCKS - 1 rows
+# past L + pad. Never read.
+RING_SLACK = 8
 
 
 # --------------------------------------------------- write-position algebra
@@ -297,6 +318,77 @@ def _uniform_dus_vmap(axis_size, in_batched, buf, upd, idx):
     )
 
 
+_UNIFORM_DS = {}
+
+
+def uniform_ds(buf, idx, k: int):
+    """dynamic_slice of k rows at a BATCH-UNIFORM index (vmap keeps it a
+    true batched dynamic_slice rather than a serialized gather)."""
+    f = _UNIFORM_DS.get(k)
+    if f is None:
+
+        @jax.custom_batching.custom_vmap
+        def ds(buf, idx):
+            start = (idx,) + (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
+            return jax.lax.dynamic_slice(buf, start, (k,) + buf.shape[1:])
+
+        @ds.def_vmap
+        def _ds_vmap(axis_size, in_batched, buf, idx):
+            assert not in_batched[1], "ring read index must be batch-uniform"
+            if not in_batched[0]:
+                buf = jnp.broadcast_to(buf, (axis_size,) + buf.shape)
+            z = jnp.zeros((), jnp.int32)
+            start = (z, idx) + (z,) * (buf.ndim - 2)
+            return (
+                jax.lax.dynamic_slice(
+                    buf, start, (buf.shape[0], k) + buf.shape[2:]
+                ),
+                True,
+            )
+
+        _UNIFORM_DS[k] = f = ds
+    return f(buf, idx)
+
+
+def ring_write_group(geo: BufferGeometry, buf, group, start):
+    """Write K contiguous ring rows [start, start+K) with mirror upkeep in
+    TWO dynamic-update-slices (instead of 2K single-row writes — on the
+    (8, 128)-tiled ring a 1-row write read-modify-writes a full 8-row tile,
+    an 8x amplification the grouped write amortizes).
+
+    group: (K, F) rows in ASCENDING ring order; start: () batch-uniform
+    int32 in [0, L); K static with K <= pad. Three cases for the second
+    write: start < pad duplicates the group into the mirror region
+    [start+L, ...); a wrapped tail (start+K > L, written by the first DUS
+    into valid mirror rows) copies back to the primary rows [0, t); else
+    the write lands in the RING_SLACK scratch rows and is never read.
+    """
+    K = group.shape[0]
+    L, pad = geo.num_blocks, geo.pad
+    assert K <= pad, (K, pad)
+    group = group.astype(buf.dtype)
+    buf = uniform_dus(buf, group, start)
+
+    t = jnp.maximum(start + K - L, 0)  # wrapped tail length
+    mirror_case = start < pad
+    wrap_case = t > 0
+    p2 = jnp.where(mirror_case, start + L,
+                   jnp.where(wrap_case, 0, L + pad))
+    cur = uniform_ds(buf, p2, K)
+    # roll(group, t): row i <- group[(i - t) mod K]; t is batch-uniform so
+    # a one-hot contraction keeps it vectorized under vmap.
+    i = jnp.arange(K)
+    oh = (jnp.mod(i[:, None] - t, K) == i[None, :]).astype(jnp.float32)
+    rolled = jnp.matmul(
+        oh, group.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(buf.dtype)
+    sel = jnp.where(mirror_case, group, rolled)
+    keep = mirror_case | (i < t) | (~mirror_case & ~wrap_case)
+    blended = jnp.where(keep[:, None], sel, cur)
+    return uniform_dus(buf, blended, p2)
+
+
 def ring_write(geo: BufferGeometry, buf, row, idx):
     """Write one ring row at batch-uniform `idx`, maintaining the mirror.
 
@@ -341,10 +433,13 @@ def init_state(geo: BufferGeometry, config: EchoCanceller3Config,
     aa_sections = 3 if geo.down_sampling_factor == 4 else 5
     nr_sections = 0 if geo.down_sampling_factor == 8 else 1
     ring_dtype = geo.ring_jnp_dtype
-    rows = geo.num_blocks + geo.pad  # mirrored rings (see BufferGeometry.pad)
+    # Mirrored rings (see BufferGeometry.pad) + scratch rows for the
+    # grouped writes (RING_SLACK).
+    rows = geo.num_blocks + geo.pad + RING_SLACK
     state = RenderDelayBufferState(
         blocks=jnp.zeros((rows, geo.blocks_row_fp), ring_dtype),
         sf=jnp.zeros((rows, geo.sf_row_fp), ring_dtype),
+        sf_pending=jnp.zeros((PAIR_BLOCKS, geo.sf_row_fp), dtype),
         lowrate=jnp.zeros((geo.ds_size,), dtype),
         b_delay=jnp.asarray(0, jnp.int32),
         lr_latency=jnp.asarray(0, jnp.int32),
@@ -458,13 +553,13 @@ def _decimate(geo: BufferGeometry, state, x):
         aa_b, aa_a = _LOW_PASS_DS4_B, _LOW_PASS_DS4_A
     else:
         aa_b, aa_a = _BAND_PASS_DS8_B, _BAND_PASS_DS8_A
-    new_aa, y = biquad.process(
-        jnp.asarray(aa_b), jnp.asarray(aa_a), state.decimator_aa, x
-    )
+    # Coefficients stay host numpy: wrapping them in jnp.asarray stages
+    # them as tracers under jit, which routes biquad.process to its
+    # per-sample scan fallback instead of the Pallas cascade kernel.
+    new_aa, y = biquad.process(aa_b, aa_a, state.decimator_aa, x)
     if geo.down_sampling_factor != 8:
         new_nr, y = biquad.process(
-            jnp.asarray(_HIGH_PASS_B), jnp.asarray(_HIGH_PASS_A),
-            state.decimator_nr, y,
+            _HIGH_PASS_B, _HIGH_PASS_A, state.decimator_nr, y,
         )
     else:
         new_nr = state.decimator_nr
@@ -475,12 +570,20 @@ def _decimate(geo: BufferGeometry, state, x):
 
 
 def insert(geo: BufferGeometry, config: EchoCanceller3Config,
-           state: RenderDelayBufferState, block, n):
+           state: RenderDelayBufferState, block, n,
+           sf_slot: int | None = None):
     """RenderDelayBufferImpl::Insert (render_delay_buffer.cc:189-231).
 
     block: (bands, 64, C); ``n`` is the post-increment insert ordinal (the
     first insert ever passes n=1) and MUST be an unbatched scalar under
     vmap. Returns (state, event).
+
+    sf_slot selects write-behind staging for the sf ring: a static slot in
+    [0, 5) — the block's position within its frame pair (even frame: 0-1,
+    odd frame: 2-4). The sf row then lands in `sf_pending` and reaches the
+    ring only at flush_sf_pending; readers must overlay via sf_span with a
+    matching pending_count. sf_slot=None writes the ring directly (the
+    standalone/unit-test path, pending_count=0 readers).
     """
     n = _as_n(n)
 
@@ -533,7 +636,6 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     )
 
     X = aec3_fft.padded_fft(band0, state.prev_band0)  # (C, 65)
-    s_w = s_write_index(geo, n)
     parts = [
         X.real.reshape(1, -1), X.imag.reshape(1, -1),
         aec3_fft.spectrum(X).reshape(1, -1),
@@ -541,10 +643,21 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     used = geo.fft_row_f + geo.spec_row_f
     if geo.sf_row_fp > used:
         parts.append(jnp.zeros((1, geo.sf_row_fp - used), X.real.dtype))
-    state = state.replace(
-        sf=ring_write(geo, state.sf, jnp.concatenate(parts, axis=1), s_w),
-        prev_band0=band0,
-    )
+    sf_row = jnp.concatenate(parts, axis=1)
+    if sf_slot is None:
+        state = state.replace(
+            sf=ring_write(geo, state.sf, sf_row, s_write_index(geo, n)),
+            prev_band0=band0,
+        )
+    else:
+        assert 0 <= sf_slot < PAIR_BLOCKS
+        state = state.replace(
+            sf_pending=jax.lax.dynamic_update_slice(
+                state.sf_pending, sf_row.astype(state.sf_pending.dtype),
+                (jnp.asarray(sf_slot, jnp.int32), jnp.zeros((), jnp.int32)),
+            ),
+            prev_band0=band0,
+        )
 
     # Overrun triggers a reset (:227-229) — read-side fields only.
     reset_state = reset(geo, config, state)
@@ -565,6 +678,30 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     )
     event = jnp.where(overrun, EVENT_RENDER_OVERRUN, EVENT_NONE)
     return state, event
+
+
+def flush_sf_pending(geo: BufferGeometry, state: RenderDelayBufferState,
+                     n_last):
+    """Write the staged sf rows of the previous frame pair into the ring.
+
+    n_last: the insert ordinal of the LAST staged block (the pair's inserts
+    were n_last-4 .. n_last; write positions are recomputed from the
+    ordinals, so nothing but the rows themselves is carried). Called at the
+    start of each even frame, before that frame's inserts — the ten
+    dynamic-update-slices (row + mirror per block) form one uninterrupted
+    chain from the carried ring, which XLA updates in place (no reads
+    intervene: in-pair readers used the sf_span overlay instead).
+
+    The very first flush writes the zero-initialized staging rows at
+    ordinals <= 0 into the zero-initialized ring — a no-op by value.
+    """
+    n_last = _as_n(n_last)
+    # Slot s (insert ordinal n_last - 4 + s) lives at ring row
+    # s_write(n_last) + 4 - s: ascending rows hold DESCENDING slots, so the
+    # contiguous group is the reversed staging buffer.
+    start = s_write_index(geo, n_last)
+    sf = ring_write_group(geo, state.sf, state.sf_pending[::-1], start)
+    return state.replace(sf=sf)
 
 
 def buffer_latency(geo: BufferGeometry, state) -> jnp.ndarray:
@@ -671,10 +808,16 @@ class RenderView(NamedTuple):
     read-only facade over the ring buffers positioned at the current read
     indices. ``n`` must be the same unbatched scalar that produced the last
     ``insert``.
+
+    pending_count (STATIC int): how many staged sf rows (insert ordinals
+    n - pending_count + 1 .. n) live in sf_pending rather than the ring —
+    2 when reading during an even frame, 5 during an odd frame, 0 when
+    inserts write the ring directly (sf_slot=None).
     """
 
     state: "RenderDelayBufferState"
     n: jnp.ndarray
+    pending_count: int = 0
 
 
 _SPAN_GATHERS: dict = {}
@@ -741,6 +884,30 @@ def _sf_spectrum(geo: BufferGeometry, rows):
     ].reshape((rows.shape[0],) + geo.spec_row_shape)
 
 
+def sf_span(geo: BufferGeometry, view: RenderView, start, W: int):
+    """Span read [start, start+W) of the sf ring with the write-behind
+    overlay: ring rows whose logical position matches a staged insert
+    (sf_pending, ordinals view.n - pending_count + 1 .. view.n) are
+    replaced by the staged f32 rows. Bit-identical to reading a ring the
+    writes had already reached (same rows, same f32 values; in bf16 ring
+    mode the staged rows skip one quantization round-trip)."""
+    rows = _span(view.state.sf, start, W)
+    k = view.pending_count
+    if k:
+        row_log = jnp.mod(start + jnp.arange(W), geo.num_blocks)  # (W,)
+        pos = jnp.stack([
+            s_write_index(geo, view.n - (k - 1) + s) for s in range(k)
+        ])  # (k,) batch-uniform
+        match = row_log[:, None] == pos[None, :]  # (W, k) per-stream
+        pend = view.state.sf_pending[:k].astype(rows.dtype)
+        overlay = jnp.matmul(
+            match.astype(rows.dtype), pend,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows = jnp.where(jnp.any(match, axis=1)[:, None], overlay, rows)
+    return rows
+
+
 def sf_window(geo: BufferGeometry, view: RenderView, width: int):
     """One DMA for both the FFT and spectrum windows at the read position.
 
@@ -748,7 +915,7 @@ def sf_window(geo: BufferGeometry, view: RenderView, width: int):
     _sf_spectrum."""
     assert width <= geo.pad + 1, (width, geo.pad)
     start = s_read_index(geo, view.state, view.n)
-    return _span(view.state.sf, start, width)
+    return sf_span(geo, view, start, width)
 
 
 def fft_window(geo: BufferGeometry, view: RenderView, num_partitions: int):
@@ -769,7 +936,7 @@ def spectrum_at(geo: BufferGeometry, view: RenderView, offset):
     idx = jnp.mod(
         s_read_index(geo, view.state, view.n) + offset, geo.num_blocks
     )
-    return _sf_spectrum(geo, _span(view.state.sf, idx, 1))[0]
+    return _sf_spectrum(geo, sf_span(geo, view, idx, 1))[0]
 
 
 def block_window_back(geo: BufferGeometry, view: RenderView, W: int):

@@ -83,6 +83,94 @@ def _kernel(seg_ref, h0_ref, a_ref, y_ref, out_ref, *, sub, taps, acc_rate,
     out_ref[...] = acc
 
 
+def _t_kernel(seg_ref, h0_ref, a_ref, y_ref, out_ref, st8_ref,
+              *, sub, taps, acc_rate, streams, p_rows):
+    """Transposed (streams-on-lanes) variant: S=128 streams ride the LANE
+    dimension, taps/chunks ride sublanes. The per-step chunk-prefix
+    contraction becomes dot((chunks, taps), (taps, S)) — with chunks=128
+    a full MXU tile, vs the stream-major kernel's 8-row feed (94% of the
+    systolic array idle). Sliding windows at sublane offset o read ALIGNED
+    slices of 8 pre-shifted copies of the transposed segment (the same
+    st8 trick as ops/pallas_mf._mf_t_kernel)."""
+    S = streams
+    chunks = taps // acc_rate
+    st = seg_ref[...].T  # (Lp, S)
+    for k in range(8):
+        st8_ref[k] = jax.lax.slice_in_dim(st, k, k + p_rows, axis=0)
+    h0 = h0_ref[...].T  # (taps, S)
+    y = y_ref[...]  # (sub, S)
+    a = a_ref[...]  # (sub, S)
+
+    # Mt[c, t] = 1 iff t // acc_rate <= c: chunk sums + inclusive prefix
+    # in one contraction (see _kernel).
+    chunk_c = jax.lax.broadcasted_iota(jnp.int32, (chunks, taps), 0)
+    taps_t = jax.lax.broadcasted_iota(jnp.int32, (chunks, taps), 1)
+    Mt = (taps_t // acc_rate <= chunk_c).astype(jnp.float32)
+
+    wex = jnp.zeros((taps, S), jnp.float32)
+    acc = jnp.zeros((chunks, S), jnp.float32)
+    for i in range(sub):
+        o = sub - 1 - i
+        k = o % 8
+        x_i = st8_ref[k, pl.ds(o - k, taps)]  # (taps, S) aligned slice
+        p = (h0 + wex) * x_i
+        part = jax.lax.dot(Mt, p, precision=jax.lax.Precision.HIGHEST)
+        acc = acc + (y[i : i + 1] - part) ** 2
+        wex = wex + a[i : i + 1] * x_i
+    out_ref[...] = acc.T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sub", "taps", "acc_rate", "interpret")
+)
+def _pre_echo_tpu_t(seg, h0, alphas, y, *, sub, taps, acc_rate,
+                    interpret=False):
+    """Transposed-kernel driver (B must be a multiple of 128)."""
+    B, seg_len = seg.shape
+    S = 128
+    assert B % S == 0, B
+    chunks = taps // acc_rate
+    # Each st8 copy k holds st[k : k+P]; windows read [d, d+taps) with
+    # d = o - o%8 <= ((sub-1)//8)*8.
+    p_rows = ((sub - 1) // 8) * 8 + taps
+    lp = ((max(seg_len, 7 + p_rows) + 7) // 8) * 8
+    if lp > seg_len:
+        seg = jnp.concatenate(
+            [seg, jnp.zeros((B, lp - seg_len), seg.dtype)], axis=1
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _t_kernel, sub=sub, taps=taps, acc_rate=acc_rate, streams=S,
+            p_rows=p_rows,
+        ),
+        grid=(B // S,),
+        in_specs=[
+            pl.BlockSpec((S, lp), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, taps), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, S), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, S), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, chunks), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, chunks), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, p_rows, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        seg.astype(jnp.float32),
+        h0.astype(jnp.float32),
+        jnp.moveaxis(alphas, 0, 1).astype(jnp.float32),
+        jnp.moveaxis(y, 0, 1).astype(jnp.float32),
+    )
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("sub", "taps", "acc_rate", "interpret")
 )
@@ -147,10 +235,29 @@ def make_pre_echo(sub: int, taps: int, acc_rate: int,
             bc(a, b) for a, b in zip((seg, h0, alphas, y), in_batched)
         )
         if interpret or jax.default_backend() == "tpu":
-            out = _pre_echo_tpu(
-                seg, h0, alphas, y, sub=sub, taps=taps, acc_rate=acc_rate,
-                interpret=interpret,
-            )
+            B = axis_size
+            # Transposed (streams-on-lanes) kernel for serving-size
+            # batches; padding to 128 is only paid when it wastes < 1/3
+            # of the tile (same policy as ops/pallas_mf.make_nlms).
+            pad128 = (-B) % 128
+            if B >= 128 and pad128 <= B // 3:
+                if pad128:
+                    zf = lambda a: jnp.concatenate(  # noqa: E731
+                        [a, jnp.zeros((pad128,) + a.shape[1:], a.dtype)],
+                        axis=0,
+                    )
+                    seg, h0, alphas, y = map(zf, (seg, h0, alphas, y))
+                out = _pre_echo_tpu_t(
+                    seg, h0, alphas, y, sub=sub, taps=taps,
+                    acc_rate=acc_rate, interpret=interpret,
+                )
+                if pad128:
+                    out = out[:B]
+            else:
+                out = _pre_echo_tpu(
+                    seg, h0, alphas, y, sub=sub, taps=taps,
+                    acc_rate=acc_rate, interpret=interpret,
+                )
         else:
             out = jax.vmap(
                 lambda s, h, a, yy: pre_echo_inst_xla(

@@ -64,9 +64,15 @@ def _span_kernel(starts_ref, ring_ref, out_ref, scratch, sems, *, W, S):
         dmas[s].wait()
         start = starts_ref[i * S + s]
         off = start - (start // 8) * 8
-        wide = scratch[s]  # (W8, F)
-        rolled = pltpu.roll(wide, jax.lax.rem(W8 - off, W8), 0)
-        out_ref[s] = rolled[:W]
+        # off is the sublane residue (0..7): an 8-way predicated STATIC
+        # slice copies only the W useful rows. The previous dynamic
+        # pltpu.roll lowered to log-shift passes over the whole (W8, F)
+        # wide load and dominated the kernel (~5x the DMA time).
+        for k in range(8):
+
+            @pl.when(off == k)
+            def _copy(s=s, k=k):
+                out_ref[s] = scratch[s][k : k + W]
 
 
 @functools.partial(jax.jit, static_argnames=("W", "interpret"))
