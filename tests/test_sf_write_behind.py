@@ -64,6 +64,15 @@ def test_staged_reads_match_direct_writes():
                 b = rb.spectrum_at(geo, view_s, off)
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+            # Blocks-ring reads (echo_remover lookback / GetBlock path).
+            for W in (1, 6, geo.pad + 1):
+                a = rb.block_window_back(geo, view_d, W)
+                b = rb.block_window_back(geo, view_s, W)
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            a = rb.block_at(geo, view_d, 0)
+            b = rb.block_at(geo, view_s, 0)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     # After one more flush the staged ring equals the direct ring on every
     # readable row (reads cover [0, L + pad); the RING_SLACK scratch rows
     # receive ring_write_group's dump writes and are never read).
@@ -72,6 +81,10 @@ def test_staged_reads_match_direct_writes():
     np.testing.assert_array_equal(
         np.asarray(buf_direct.sf)[:readable],
         np.asarray(buf_staged.sf)[:readable],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(buf_direct.blocks)[:readable],
+        np.asarray(buf_staged.blocks)[:readable],
     )
 
 

@@ -1112,10 +1112,13 @@ def update(
             rb.s_read_index(geo, buf.state, buf.n),
             rb.s_write_index(geo, buf.n),
             geo,
+            # Newest inserted block: through blocks_span so the write-behind
+            # staging overlays (the row may still be in blocks_pending).
             jnp.swapaxes(
-                buf.state.blocks[rb.b_write_index(geo, buf.n)][
-                    : geo.blocks_row_f
-                ].reshape(geo.block_row_shape)[0].astype(jnp.float32), 0, 1
+                rb.blocks_span(
+                    geo, buf, rb.b_write_index(geo, buf.n), 1
+                )[0, : geo.blocks_row_f]
+                .reshape(geo.block_row_shape)[0].astype(jnp.float32), 0, 1
             ).T,
             reverb.reverb, min_delay, rb.headroom(geo, buf.state),
             external_delay_valid,

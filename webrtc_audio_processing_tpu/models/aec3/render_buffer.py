@@ -233,6 +233,11 @@ class RenderDelayBufferState:
     # a read group; with all writes in one chain and reads overlaid from
     # this staging buffer (sf_span), the ring updates in place.
     sf_pending: jnp.ndarray  # (5, sf_row_fp) float32
+    # Same write-behind staging for the blocks ring (flush_pending /
+    # blocks_span): without it the in-pair row writes interleaved with the
+    # capture blocks' span-gather reads cost two full-ring copy insertions
+    # per pair (2 x ~0.93 ms at B=1024, 48 kHz stereo).
+    blocks_pending: jnp.ndarray  # (5, blocks_row_fp) float32
     lowrate: jnp.ndarray  # (DS,)
     b_delay: jnp.ndarray  # () int32: (b_write - b_read) mod L
     lr_latency: jnp.ndarray  # () int32: (lr_read - lr_write) mod DS, samples
@@ -440,6 +445,7 @@ def init_state(geo: BufferGeometry, config: EchoCanceller3Config,
         blocks=jnp.zeros((rows, geo.blocks_row_fp), ring_dtype),
         sf=jnp.zeros((rows, geo.sf_row_fp), ring_dtype),
         sf_pending=jnp.zeros((PAIR_BLOCKS, geo.sf_row_fp), dtype),
+        blocks_pending=jnp.zeros((PAIR_BLOCKS, geo.blocks_row_fp), dtype),
         lowrate=jnp.zeros((geo.ds_size,), dtype),
         b_delay=jnp.asarray(0, jnp.int32),
         lr_latency=jnp.asarray(0, jnp.int32),
@@ -578,12 +584,13 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
     first insert ever passes n=1) and MUST be an unbatched scalar under
     vmap. Returns (state, event).
 
-    sf_slot selects write-behind staging for the sf ring: a static slot in
-    [0, 5) — the block's position within its frame pair (even frame: 0-1,
-    odd frame: 2-4). The sf row then lands in `sf_pending` and reaches the
-    ring only at flush_sf_pending; readers must overlay via sf_span with a
-    matching pending_count. sf_slot=None writes the ring directly (the
-    standalone/unit-test path, pending_count=0 readers).
+    sf_slot selects write-behind staging for the sf AND blocks rings: a
+    static slot in [0, 5) — the block's position within its frame pair
+    (even frame: 0-1, odd frame: 2-4). The rows then land in `sf_pending` /
+    `blocks_pending` and reach the rings only at flush_sf_pending; readers
+    must overlay via sf_span / blocks_span with a matching pending_count.
+    sf_slot=None writes the rings directly (the standalone/unit-test path,
+    pending_count=0 readers).
     """
     n = _as_n(n)
 
@@ -620,9 +627,20 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
              jnp.zeros((1, geo.blocks_row_fp - geo.blocks_row_f),
                        block_row.dtype)], axis=1,
         )
-    state = state.replace(
-        blocks=ring_write(geo, state.blocks, block_row, b_write_index(geo, n))
-    )
+    if sf_slot is None:
+        state = state.replace(
+            blocks=ring_write(
+                geo, state.blocks, block_row, b_write_index(geo, n)
+            )
+        )
+    else:
+        state = state.replace(
+            blocks_pending=jax.lax.dynamic_update_slice(
+                state.blocks_pending,
+                block_row.astype(state.blocks_pending.dtype),
+                (jnp.asarray(sf_slot, jnp.int32), jnp.zeros((), jnp.int32)),
+            )
+        )
 
     band0 = jnp.swapaxes(block[0], 0, 1)  # (C, 64)
     new_mixer, mono = _alignment_mix(
@@ -682,7 +700,8 @@ def insert(geo: BufferGeometry, config: EchoCanceller3Config,
 
 def flush_sf_pending(geo: BufferGeometry, state: RenderDelayBufferState,
                      n_last):
-    """Write the staged sf rows of the previous frame pair into the ring.
+    """Write the staged sf AND blocks rows of the previous frame pair into
+    their rings.
 
     n_last: the insert ordinal of the LAST staged block (the pair's inserts
     were n_last-4 .. n_last; write positions are recomputed from the
@@ -701,7 +720,13 @@ def flush_sf_pending(geo: BufferGeometry, state: RenderDelayBufferState,
     # contiguous group is the reversed staging buffer.
     start = s_write_index(geo, n_last)
     sf = ring_write_group(geo, state.sf, state.sf_pending[::-1], start)
-    return state.replace(sf=sf)
+    # The blocks ring ascends with n (b_write(n) = n mod L): slot s lives
+    # at b_write(n_last - 4 + s) — the group is the staging buffer in slot
+    # order starting at b_write(n_last - 4).
+    b_start = b_write_index(geo, n_last - (PAIR_BLOCKS - 1))
+    blocks = ring_write_group(geo, state.blocks, state.blocks_pending,
+                              b_start)
+    return state.replace(sf=sf, blocks=blocks)
 
 
 def buffer_latency(geo: BufferGeometry, state) -> jnp.ndarray:
@@ -908,6 +933,27 @@ def sf_span(geo: BufferGeometry, view: RenderView, start, W: int):
     return rows
 
 
+def blocks_span(geo: BufferGeometry, view: RenderView, start, W: int):
+    """Span read [start, start+W) of the blocks ring with the write-behind
+    overlay (see sf_span; blocks positions ascend with n:
+    b_write(n) = n mod L)."""
+    rows = _span(view.state.blocks, start, W)
+    k = view.pending_count
+    if k:
+        row_log = jnp.mod(start + jnp.arange(W), geo.num_blocks)  # (W,)
+        pos = jnp.stack([
+            b_write_index(geo, view.n - (k - 1) + s) for s in range(k)
+        ])  # (k,) batch-uniform
+        match = row_log[:, None] == pos[None, :]  # (W, k) per-stream
+        pend = view.state.blocks_pending[:k].astype(rows.dtype)
+        overlay = jnp.matmul(
+            match.astype(rows.dtype), pend,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows = jnp.where(jnp.any(match, axis=1)[:, None], overlay, rows)
+    return rows
+
+
 def sf_window(geo: BufferGeometry, view: RenderView, width: int):
     """One DMA for both the FFT and spectrum windows at the read position.
 
@@ -951,7 +997,7 @@ def block_window_back(geo: BufferGeometry, view: RenderView, W: int):
     )
     # The span is ascending ring rows; the window contract is descending
     # (row k = b_read - k), so flip.
-    return _span(view.state.blocks, start, W)[
+    return blocks_span(geo, view, start, W)[
         ::-1, : geo.blocks_row_f
     ].reshape((W,) + geo.block_row_shape)
 
@@ -986,7 +1032,7 @@ def block_at(geo: BufferGeometry, view: RenderView, offset: int = 0):
     idx = jnp.mod(
         b_read_index(geo, view.state, view.n) + offset, geo.num_blocks
     )
-    return _span(view.state.blocks, idx, 1)[
+    return blocks_span(geo, view, idx, 1)[
         0, : geo.blocks_row_f
     ].reshape(geo.block_row_shape)
 
