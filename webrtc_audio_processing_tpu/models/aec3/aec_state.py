@@ -1093,14 +1093,21 @@ def update(
     # adaptive estimator when enabled (aec_state.cc:250 ReverbDecay(false)).
     decay = rde.decay_value(config, state.reverb_decay_est,
                             jnp.asarray(False))
-    X2_past = jnp.mean(
-        rb.window_row(spec_win, min_delay + 1) if spec_win is not None
-        else rb.spectrum_at(geo, buf, min_delay + 1), axis=0)
+    # One pass over spec_win serves both the min_delay and min_delay+1
+    # rows (window_row with a (2,) offset vector).
+    if spec_win is not None:
+        X2_rows = rb.window_row(
+            spec_win, jnp.stack([min_delay, min_delay + 1])
+        )  # (2, C, 65)
+        X2_at_ch = X2_rows[0]  # (C, 65), reused by erl_update below
+        X2_at = jnp.mean(X2_rows[0], axis=0)
+        X2_past = jnp.mean(X2_rows[1], axis=0)
+    else:
+        X2_at_ch = rb.spectrum_at(geo, buf, min_delay)
+        X2_past = jnp.mean(rb.spectrum_at(geo, buf, min_delay + 1), axis=0)
+        X2_at = jnp.mean(X2_at_ch, axis=0)
     reverb = reverb_update_no_shaping(state.avg_render_reverb, X2_past, 1.0,
                                       decay)
-    X2_at = jnp.mean(
-        rb.window_row(spec_win, min_delay) if spec_win is not None
-        else rb.spectrum_at(geo, buf, min_delay), axis=0)
     X2_reverb = X2_at + reverb.reverb
 
     # EchoAudibility (aec_state.cc:253-257), only when the stationarity
@@ -1144,10 +1151,7 @@ def update(
     erle = erle_update(config, erle, X2_reverb, Y2, E2_refined,
                        sa.filters_converged, X2_by_delay,
                        frequency_responses)
-    erl = erl_update(
-        state.erl, sa.filters_converged,
-        rb.window_row(spec_win, min_delay) if spec_win is not None
-        else rb.spectrum_at(geo, buf, min_delay), Y2)
+    erl = erl_update(state.erl, sa.filters_converged, X2_at_ch, Y2)
 
     # Saturation detection (aec_state.cc:439-470).
     usable_prev = state.usable_linear_estimate

@@ -909,6 +909,21 @@ def _sf_spectrum(geo: BufferGeometry, rows):
     ].reshape((rows.shape[0],) + geo.spec_row_shape)
 
 
+def _overlay_rows(rows, match, pend):
+    """rows with row w replaced by pend[k] where match[w, k] (at most one
+    k matches a row). One-hot matmul with per-operand precision
+    (DEFAULT, HIGHEST): the one-hot lhs is exact in bf16 (0/1) and the
+    HIGHEST rhs reconstructs f32 exactly from its 3-way bf16 split, so the
+    select is bit-exact at half the passes of HIGHEST/HIGHEST. (A masked
+    where+reduce form was measured ~2x slower here: it broadcasts pend to
+    (W, k, F) element ops per read.)"""
+    overlay = jnp.matmul(
+        match.astype(rows.dtype), pend,
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+    )
+    return jnp.where(jnp.any(match, axis=1)[:, None], overlay, rows)
+
+
 def sf_span(geo: BufferGeometry, view: RenderView, start, W: int):
     """Span read [start, start+W) of the sf ring with the write-behind
     overlay: ring rows whose logical position matches a staged insert
@@ -925,11 +940,7 @@ def sf_span(geo: BufferGeometry, view: RenderView, start, W: int):
         ])  # (k,) batch-uniform
         match = row_log[:, None] == pos[None, :]  # (W, k) per-stream
         pend = view.state.sf_pending[:k].astype(rows.dtype)
-        overlay = jnp.matmul(
-            match.astype(rows.dtype), pend,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rows = jnp.where(jnp.any(match, axis=1)[:, None], overlay, rows)
+        rows = _overlay_rows(rows, match, pend)
     return rows
 
 
@@ -946,11 +957,7 @@ def blocks_span(geo: BufferGeometry, view: RenderView, start, W: int):
         ])  # (k,) batch-uniform
         match = row_log[:, None] == pos[None, :]  # (W, k) per-stream
         pend = view.state.blocks_pending[:k].astype(rows.dtype)
-        overlay = jnp.matmul(
-            match.astype(rows.dtype), pend,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rows = jnp.where(jnp.any(match, axis=1)[:, None], overlay, rows)
+        rows = _overlay_rows(rows, match, pend)
     return rows
 
 
@@ -1017,9 +1024,11 @@ def window_row(win, offset):
         jnp.expand_dims(offset, -1) == jnp.arange(W)
     ).astype(oh_dtype)
     flat = win.reshape(W, -1)
-    dot = lambda a, b: jnp.matmul(  # noqa: E731
-        a, b, precision=jax.lax.Precision.HIGHEST
-    )
+    # Per-operand precision: the one-hot lhs is exact in bf16 (0/1); the
+    # HIGHEST rhs reconstructs f32 exactly from its 3-way bf16 split —
+    # bit-exact selection at half the passes of HIGHEST/HIGHEST.
+    prec = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+    dot = lambda a, b: jnp.matmul(a, b, precision=prec)  # noqa: E731
     if jnp.iscomplexobj(win):
         out = (dot(oh, flat.real) + 1j * dot(oh, flat.imag)).astype(win.dtype)
     else:

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Streams per grid step: each stream issues one DMA of W*F elements
 # (~7-20 KB); 8 per step keeps enough DMAs in flight to hide issue
-# latency without oversubscribing the semaphore array.
+# latency without oversubscribing the semaphore array (16 measured ~25%
+# slower in the 48 kHz chunk profile).
 _S = 8
 
 
