@@ -26,8 +26,17 @@ REF_RES = "/root/reference/tests/resources"
 
 
 def run_config(sample_rate: int, num_channels: int, num_reverse: int,
-               max_frames: int | None = None):
-    """Runs one ApmTest.Process configuration. Returns a result dict."""
+               max_frames: int | None = None, profile: str = "float"):
+    """Runs one ApmTest.Process configuration. Returns a result dict.
+
+    profile="float": EnableAllAPComponents float profile (AEC3, AGC1
+    adaptive-analog) vs output_data_float.pb.
+    profile="fixed": the WEBRTC_AUDIOPROC_FIXED_PROFILE build (AECM
+    mobile echo control + AGC1 adaptive-digital,
+    audio_processing_unittest.cc:135-141) vs output_data_fixed.pb —
+    no echo metrics are recorded in that profile (:1801 FLOAT_PROFILE
+    guard).
+    """
     from webrtc_audio_processing_tpu import config as cfg
     from webrtc_audio_processing_tpu.api import AudioProcessing
 
@@ -56,14 +65,16 @@ def run_config(sample_rate: int, num_channels: int, num_reverse: int,
     if max_frames:
         n_frames = min(n_frames, max_frames)
 
+    mobile = profile == "fixed"
     c = cfg.Config().replace(
         # EnableAllAPComponents sets the internal-rate cap to 48000
         # (audio_processing_unittest.cc:152).
         pipeline=cfg.Pipeline(maximum_internal_processing_rate=48000),
-        echo_canceller=cfg.EchoCanceller(enabled=True, mobile_mode=False),
+        echo_canceller=cfg.EchoCanceller(enabled=True, mobile_mode=mobile),
         gain_controller1=cfg.GainController1(
             enabled=True,
-            mode=cfg.Agc1Mode.ADAPTIVE_ANALOG,
+            mode=(cfg.Agc1Mode.ADAPTIVE_DIGITAL if mobile
+                  else cfg.Agc1Mode.ADAPTIVE_ANALOG),
             analog_gain_controller=cfg.AnalogGainController(enabled=False),
         ),
         noise_suppression=cfg.NoiseSuppression(enabled=True),
@@ -105,11 +116,11 @@ def run_config(sample_rate: int, num_channels: int, num_reverse: int,
     )
 
 
-def golden_for(sample_rate, num_channels, num_reverse):
+def golden_for(sample_rate, num_channels, num_reverse, profile="float"):
     from webrtc_audio_processing_tpu.utils import apm_golden
 
     tests = apm_golden.read_output_data(
-        f"{REF_RES}/audio_processing/output_data_float.pb"
+        f"{REF_RES}/audio_processing/output_data_{profile}.pb"
     )
     for t in tests:
         if (t.sample_rate == sample_rate
@@ -124,8 +135,9 @@ def main():
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
     ch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     rev = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    res = run_config(rate, ch, rev)
-    g = golden_for(rate, ch, rev)
+    profile = sys.argv[4] if len(sys.argv) > 4 else "float"
+    res = run_config(rate, ch, rev, profile=profile)
+    g = golden_for(rate, ch, rev, profile=profile)
     print(f"config rate={rate} ch={ch} rev={rev} frames={res['frames']}")
     print(f"analog_level_average: got {res['analog_level_average']} "
           f"golden {g.analog_level_average}")

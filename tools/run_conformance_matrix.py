@@ -2,7 +2,11 @@
 at the reference's own tolerances (audio_processing_unittest.cc:1812-1861:
 analog level +-1, max output +-7 absolute on non-bit-exact platforms).
 
-Usage: python tools/run_conformance_matrix.py [out.json] [max_frames]
+Usage: python tools/run_conformance_matrix.py [out.json] [max_frames] [profile]
+
+profile "float" (default) runs the 16-config float matrix vs
+output_data_float.pb; "fixed" runs the 12-config mobile matrix (AECM +
+AGC1 adaptive-digital, 8/16/32 kHz) vs output_data_fixed.pb.
 """
 
 from __future__ import annotations
@@ -16,20 +20,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from apm_conformance import golden_for, run_config  # noqa: E402
 
-RATES = (8000, 16000, 32000, 48000)
-
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/conformance_matrix.json"
     max_frames = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    profile = sys.argv[3] if len(sys.argv) > 3 else "float"
+    rates = (8000, 16000, 32000) if profile == "fixed" \
+        else (8000, 16000, 32000, 48000)
     results = []
-    for rate in RATES:
+    for rate in rates:
         for ch in (1, 2):
             for rev in (1, 2):
                 t0 = time.time()
                 try:
-                    res = run_config(rate, ch, rev, max_frames=max_frames)
-                    g = golden_for(rate, ch, rev)
+                    res = run_config(rate, ch, rev, max_frames=max_frames,
+                                     profile=profile)
+                    g = golden_for(rate, ch, rev, profile=profile)
                     row = dict(
                         rate=rate, ch=ch, rev=rev, frames=res["frames"],
                         analog=res["analog_level_average"],
