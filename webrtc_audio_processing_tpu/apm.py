@@ -672,11 +672,18 @@ def process_stream_pair(
             state.echo_control, render_bands, bands, parity % 2
         )
 
-    # AECM (mobile mode, :1407-1416 via EchoControlMobileImpl). Runs on
+    # AECM (mobile mode, :1393-1405 via EchoControlMobileImpl). Runs on
     # band 0 only; cancellers cascade over render channels and the upper
-    # bands are zeroed (echo_control_mobile_impl.cc:165-226).
+    # bands are zeroed (echo_control_mobile_impl.cc:165-226). In the
+    # mobile branch NS.Process runs BEFORE the AECM
+    # (audio_processing_impl.cc:1400-1402), the inverse of the desktop
+    # order — the AECM was tuned on noise-suppressed input and its
+    # comfort noise must not pass through the suppressor.
     new_aecm = state.aecm
     if state.aecm is not None:
+        if new_ns is not None:
+            ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
+            new_ns, bands = ns.process(ns_params, new_ns, bands)
         ag = geo.aecm
         p = parity % ag.period
         c_cap = geo.capture_processing_channels
@@ -699,8 +706,9 @@ def process_stream_pair(
         if cap_cfg.num_bands > 1:
             bands = bands.at[1:].set(0.0)
 
-    # NS process (:1423-1425).
-    if new_ns is not None:
+    # NS process (:1423-1425) — desktop branch only; the mobile branch
+    # already ran it before the AECM above.
+    if new_ns is not None and state.aecm is None:
         ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
         new_ns, bands = ns.process(ns_params, new_ns, bands)
 

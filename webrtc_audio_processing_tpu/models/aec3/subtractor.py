@@ -272,13 +272,25 @@ def adapt_and_constrain_filter(state: FilterState, X_window, G,
     pc_f = pc_oh.astype(jnp.float32)
 
     # Post-adapt value of the constrained partition:
-    # H'[pc] = H[pc] + conj(X[pc]) * G. HIGHEST precision keeps the
-    # one-hot row selects exact (the default bf16 matmul precision would
-    # truncate the selected values).
-    H_pc = jnp.einsum("p,cprk->crk", pc_f, state.H,
-                      precision=jax.lax.Precision.HIGHEST)
-    X_pc = jnp.einsum("p,prk->rk", pc_f, Xm,
-                      precision=jax.lax.Precision.HIGHEST)
+    # H'[pc] = H[pc] + conj(X[pc]) * G. Per-operand precision
+    # (DEFAULT, HIGHEST) keeps the one-hot row selects exact at a third of
+    # the passes of HIGHEST/HIGHEST: the 0/1 lhs is already exact in bf16
+    # and the HIGHEST rhs reconstructs f32 exactly from its 3-way bf16
+    # split (same trick as render_buffer.window_row). Complex operands are
+    # split into real dots explicitly so the per-operand tuple reaches the
+    # real dot_general lowering unchanged.
+    prec = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
+    def _select(eq, oh, val):
+        if jnp.iscomplexobj(val):
+            return jax.lax.complex(
+                jnp.einsum(eq, oh, val.real, precision=prec),
+                jnp.einsum(eq, oh, val.imag, precision=prec),
+            )
+        return jnp.einsum(eq, oh, val, precision=prec)
+
+    H_pc = _select("p,cprk->crk", pc_f, state.H)
+    X_pc = _select("p,prk->rk", pc_f, Xm)
     # The same einsum form as the full-H adapt below, so the complex
     # multiply lowers identically (a broadcast jnp multiply rounds
     # differently and would make the fused path diverge bitwise from
