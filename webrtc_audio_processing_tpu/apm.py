@@ -645,8 +645,9 @@ def process_stream_pair(
 
     # NS analyze (pre-AEC, :1387-1391).
     new_ns = state.ns
+    ns_params = (ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
+                 if state.ns is not None else None)
     if state.ns is not None:
-        ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
         new_ns = ns.analyze(ns_params, state.ns, bands[0])
 
     # AEC3 (:1407-1416) — or the injected EchoControl (echo_control.h).
@@ -682,7 +683,6 @@ def process_stream_pair(
     new_aecm = state.aecm
     if state.aecm is not None:
         if new_ns is not None:
-            ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
             new_ns, bands = ns.process(ns_params, new_ns, bands)
         ag = geo.aecm
         p = parity % ag.period
@@ -709,7 +709,6 @@ def process_stream_pair(
     # NS process (:1423-1425) — desktop branch only; the mobile branch
     # already ran it before the AECM above.
     if new_ns is not None and state.aecm is None:
-        ns_params = ns.SUPPRESSION_PARAMS[c.noise_suppression.level]
         new_ns, bands = ns.process(ns_params, new_ns, bands)
 
     # Hybrid analog AGC (AgcManagerDirect::Process, :1428-1436): runs on
