@@ -4,6 +4,7 @@
 # Nothing from the reference tree enters this repository; the library is a
 # build artifact under /tmp.
 set -e
+SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 R=/root/reference/webrtc
 TF=/opt/venv/lib/python3.12/site-packages/tensorflow/include
 TFD=/opt/venv/lib/python3.12/site-packages/tensorflow
@@ -49,7 +50,6 @@ for f in $(find $R -name "*avx2*.cc" | grep -v test); do
   obj="obj/$(echo $f | md5sum | cut -d' ' -f1).o"
   [ -f "$obj" ] || g++ $FLAGS -mavx2 -mfma -std=c++20 -c "$f" -o "$obj"
 done
-SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 g++ $FLAGS -std=c++20 -c "$SCRIPT_DIR/apm_c.cc" -o obj/apm_c.o
 g++ -shared -o libapm.so obj/*.o -pthread -L$TFD -l:libtensorflow_framework.so.2 -Wl,-rpath,$TFD
 echo "built $OUT/libapm.so"
