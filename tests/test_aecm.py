@@ -62,7 +62,7 @@ def test_binary_delay_estimator_synthetic():
     assert int(last) == delay
 
 
-def _run_aecm(far, near, rate=16000, delay_samples=0):
+def _run_aecm(far, near, rate=16000, stream_delay_ms=0):
     geo = ecm.AecmGeometry(sample_rate_hz=rate)
     st = ecm.init_state(geo)
     F = geo.frame_len
@@ -71,7 +71,7 @@ def _run_aecm(far, near, rate=16000, delay_samples=0):
     def step(st, f, n, parity):
         st = ecm.buffer_farend(st, f)
         return ecm.process_frame(
-            geo, st, n, parity, jnp.asarray(delay_samples, jnp.int32)
+            geo, st, n, parity, jnp.asarray(stream_delay_ms, jnp.int32)
         )
 
     outs = []
@@ -100,10 +100,15 @@ def test_echo_suppression_far_only():
     far = (RNG.normal(size=n) * 9000 * burst * level).clip(
         -30000, 30000
     ).astype(np.int32)
-    # Simple static echo path: attenuation + short smear.
-    echo = 0.5 * far + 0.2 * np.roll(far, 1) + 0.1 * np.roll(far, 2)
+    # Simple static echo path: a realistic acoustic delay (the startup
+    # FIFO machinery always leaves the far fetch at least one 80-sample
+    # frame behind — a zero-lag echo is non-causal for the reference too)
+    # plus attenuation and short smear.
+    D = 480  # 30 ms
+    fd = np.roll(far, D)
+    echo = 0.5 * fd + 0.2 * np.roll(fd, 1) + 0.1 * np.roll(fd, 2)
     near = echo.astype(np.int32)
-    out = _run_aecm(far, near)
+    out = _run_aecm(far, near, stream_delay_ms=30)
 
     # Measure over the last third, on far-active samples only.
     tail = slice(2 * n // 3, n - 160)

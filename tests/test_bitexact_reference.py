@@ -232,9 +232,10 @@ class TestAecmGolden:
     Mono16kHz_LoudSpeakerPhone_CngOn_StreamDelay10 (:181-189).
 
     The harness drives EchoControlMobileImpl with a fixed 10 ms stream
-    delay; tracing WebRtcAecm_Process + EstBufDelay with that input gives:
-    frames 0-5 passthrough (ECstartup; buffer stabilization needs
-    counter*nBlocks10ms >= 6), at frame 5 exit MoveReadPtr leaves
+    delay through the full ECstartup / checkBuffSize / EstBufDelay
+    machinery (echo_control_mobile.py mirrors echo_control_mobile.cc):
+    frames 0-5 are passthrough (buffer stabilization needs
+    counter*nBlocks10ms >= 6), at frame 5 the exit MoveReadPtr leaves
     bufSizeStart=3 x 80-sample buffers (read ptr at abs far sample 720),
     and from frame 6 on the far FIFO is read contiguously at a constant
     240-sample lag (each sub-frame is read BEFORE EstBufDelay runs, so the
@@ -270,13 +271,19 @@ class TestAecmGolden:
             for p in range(geo.period)
         ]
 
-        for k in range(6):  # startup passthrough frames
-            st = buf(st, jnp.asarray(far_i[k]))
+        delay_ms = jnp.asarray(10, jnp.int32)
         out = None
-        for k in range(6, 200):
+        for k in range(200):
             st = buf(st, jnp.asarray(far_i[k]))
-            st, out = steps[(k - 6) % geo.period](
-                st, jnp.asarray(near_i[k]), jnp.asarray(-720, jnp.int32)
+            st, out = steps[k % geo.period](
+                st, jnp.asarray(near_i[k]), delay_ms
             )
+            if k == 5:
+                # Startup-exit invariants from the reference trace.
+                assert int(st.buf_size_start) == 3
+                assert int(st.fifo_read) == 720
+                assert not bool(st.ec_startup)
+            if k < 6:  # ECstartup passthrough
+                np.testing.assert_array_equal(np.asarray(out), near_i[k])
         got = np.asarray(out[:3]).astype(np.float32) / 32768.0
         np.testing.assert_allclose(got, want, atol=TOL, rtol=0)

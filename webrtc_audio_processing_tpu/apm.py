@@ -688,12 +688,11 @@ def process_stream_pair(
         p = parity % ag.period
         c_cap = geo.capture_processing_channels
         c_ren = geo.render_processing_channels
-        delay = (jnp.asarray(stream_delay_ms, jnp.int32)
-                 * (ag.sample_rate_hz // 1000))
+        delay_ms = jnp.asarray(stream_delay_ms, jnp.int32)
         x = _to_s16(bands[0]).T  # (C_cap, N)
 
         def _one(s, xi):
-            return ecm.process_frame(ag, s, xi, p, delay)
+            return ecm.process_frame(ag, s, xi, p, delay_ms)
 
         for j in range(c_ren):
             idx = jnp.arange(c_cap) * c_ren + j
