@@ -45,6 +45,7 @@ def build_step(mode):
     import jax.numpy as jnp
 
     from webrtc_audio_processing_tpu import apm, config as cfg_mod
+    from webrtc_audio_processing_tpu.utils import carry_pack
     from webrtc_audio_processing_tpu.utils import complex_boundary as cb
 
     rate, cap_ch, ren_ch, max_internal = MODES[mode]
@@ -66,19 +67,32 @@ def build_step(mode):
     # aec3_stereo_content: for the stereo mode, measure the full
     # multichannel AEC3 (the post-detection steady state, the north-star
     # config) rather than the cheaper pre-detection mono-downmix phase.
+    # BENCH_RING_DTYPE=bfloat16 selects the bf16 render-ring serving mode
+    # (halves the dominant per-stream HBM state; echo-reduction floor at
+    # the bf16 mantissa SNR — see PERF.md). The headline stays float32.
     geo = apm.ApmGeometry.create(
         c, rate, cap_ch,
         render_input_rate=rate, num_render_channels=ren_ch,
         aec3_stereo_content=ren_ch > 1,
+        aec3_ring_dtype=os.environ.get("BENCH_RING_DTYPE", "float32"),
     )
 
+    # Carry packing (utils/carry_pack.py): the scan carries the state as
+    # two dense vectors + the big ring/filter arrays instead of ~430
+    # leaves — XLA's while lowering paid ~150 copy insertions and
+    # constant re-broadcasts per iteration on the unpacked tuple.
+    state_example = cb.init_encoded(lambda: apm.init_state(geo))
+    pack, unpack, _info = carry_pack.make_codec(state_example)
+
     def init():
-        return cb.init_encoded(lambda: apm.init_state(geo))
+        return jax.jit(
+            lambda: pack(cb.init_encoded(lambda: apm.init_state(geo)))
+        )()
 
     zero = jnp.asarray(0, jnp.int32)
 
-    def pair_step(state, r0, c0, r1, c1, n0):
-        state = cb.decode(state)
+    def pair_step(packed, r0, c0, r1, c1, n0):
+        state = cb.decode(unpack(packed))
         state, _y0, _r, _s = apm.process_stream_pair(
             geo, state, c0, r0, 0, stream_delay_ms=zero,
             applied_input_volume=zero, n0=n0,
@@ -87,7 +101,7 @@ def build_step(mode):
             geo, state, c1, r1, 1, stream_delay_ms=zero,
             applied_input_volume=zero, n0=n0 + 2,
         )
-        return cb.encode(state), y1[..., 0]
+        return pack(cb.encode(state)), y1[..., 0]
 
     frame = rate // 100
     return init, pair_step, frame, cap_ch, ren_ch
