@@ -77,12 +77,15 @@ def build_step(mode):
         aec3_ring_dtype=os.environ.get("BENCH_RING_DTYPE", "float32"),
     )
 
-    # Carry packing (utils/carry_pack.py): the scan carries the state as
-    # two dense vectors + the big ring/filter arrays instead of ~430
-    # leaves — XLA's while lowering paid ~150 copy insertions and
-    # constant re-broadcasts per iteration on the unpacked tuple.
+    # Carry packing (utils/carry_pack.py): the scan carries the state's
+    # scalar-ish leaves as two dense vectors — XLA's while lowering paid
+    # a copy insertion (~3 us each) per iteration on most of the ~430
+    # separate carry leaves. max_elems=16 packs only the tiny leaves
+    # (per-stream scalars, (C,) pairs, (5,) vectors), where the per-op
+    # overhead dominates and the packed-vector bytes are negligible.
     state_example = cb.init_encoded(lambda: apm.init_state(geo))
-    pack, unpack, _info = carry_pack.make_codec(state_example)
+    pack, unpack, _info = carry_pack.make_codec(state_example,
+                                                max_elems=16)
 
     def init():
         return jax.jit(

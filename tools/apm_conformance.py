@@ -26,7 +26,8 @@ REF_RES = "/root/reference/tests/resources"
 
 
 def run_config(sample_rate: int, num_channels: int, num_reverse: int,
-               max_frames: int | None = None, profile: str = "float"):
+               max_frames: int | None = None, profile: str = "float",
+               with_oracle: bool = False):
     """Runs one ApmTest.Process configuration. Returns a result dict.
 
     profile="float": EnableAllAPComponents float profile (AEC3, AGC1
@@ -35,7 +36,13 @@ def run_config(sample_rate: int, num_channels: int, num_reverse: int,
     mobile echo control + AGC1 adaptive-digital,
     audio_processing_unittest.cc:135-141) vs output_data_fixed.pb —
     no echo metrics are recorded in that profile (:1801 FLOAT_PROFILE
-    guard).
+    guard). NOTE: WEBRTC_AUDIOPROC_FIXED_PROFILE is the reference's
+    Android build (webrtc/BUILD.gn), so output_data_fixed.pb records an
+    ARM build's numerics — not reproducible bit-for-bit by any x86 build
+    of the reference either. `with_oracle=True` therefore also drives the
+    locally-compiled reference APM (tools/ref_apm.py) on the same frames
+    and reports its averages + our per-sample deviation from it; the
+    oracle comparison is the authoritative fixed-profile bar.
     """
     from webrtc_audio_processing_tpu import config as cfg
     from webrtc_audio_processing_tpu.api import AudioProcessing
@@ -82,9 +89,26 @@ def run_config(sample_rate: int, num_channels: int, num_reverse: int,
     )
     apm = AudioProcessing(c)
 
+    oracle = None
+    if with_oracle:
+        import ref_apm
+
+        assert ref_apm.available(), "build tools/build_ref_apm.sh first"
+        oracle = ref_apm.RefApm(
+            aec=True, mobile=mobile, ns=True,
+            agc1=True,
+            agc1_mode="adaptive_digital" if mobile else "adaptive_analog",
+            hpf=True,
+        )
+
     analog_level = 127
     analog_sum = 0
     max_out_sum = 0
+    ref_analog_level = 127
+    ref_analog_sum = 0
+    ref_max_out_sum = 0
+    diff_sq = 0.0
+    ref_sq = 0.0
     echo_metrics = []
     for k in range(n_frames):
         err, _ = apm.process_reverse_stream(
@@ -95,6 +119,17 @@ def run_config(sample_rate: int, num_channels: int, num_reverse: int,
         apm.set_stream_analog_level(analog_level)
         err, out16 = apm.process_stream_int16(near_f[k], sample_rate)
         assert err == 0, err
+        if oracle is not None:
+            oracle.process_reverse_i16(far_f[k], sample_rate)
+            oracle.set_stream_delay_ms(0)
+            oracle.set_stream_analog_level(ref_analog_level)
+            _, ref16 = oracle.process_i16(near_f[k], sample_rate)
+            ref_analog_level = oracle.recommended_stream_analog_level()
+            ref_analog_sum += ref_analog_level
+            ref_max_out_sum += int(np.max(np.abs(ref16.astype(np.int32))))
+            d = out16.astype(np.float64) - ref16.astype(np.float64)
+            diff_sq += float(np.sum(d * d))
+            ref_sq += float(np.sum(ref16.astype(np.float64) ** 2))
         max_out_sum += int(np.max(np.abs(out16.astype(np.int32))))
         analog_level = apm.recommended_stream_analog_level()
         analog_sum += analog_level
@@ -108,12 +143,21 @@ def run_config(sample_rate: int, num_channels: int, num_reverse: int,
                 residual_echo_likelihood_recent_max=(
                     s.residual_echo_likelihood_recent_max),
             ))
-    return dict(
+    res = dict(
         frames=n_frames,
         analog_level_average=analog_sum // n_frames,
         max_output_average=max_out_sum // n_frames,
         echo_metrics=echo_metrics,
     )
+    if oracle is not None:
+        res.update(
+            oracle_analog_level_average=ref_analog_sum // n_frames,
+            oracle_max_output_average=ref_max_out_sum // n_frames,
+            rel_rms_vs_oracle=float(
+                np.sqrt(diff_sq / max(ref_sq, 1.0))
+            ),
+        )
+    return res
 
 
 def golden_for(sample_rate, num_channels, num_reverse, profile="float"):

@@ -6,7 +6,12 @@ Usage: python tools/run_conformance_matrix.py [out.json] [max_frames] [profile]
 
 profile "float" (default) runs the 16-config float matrix vs
 output_data_float.pb; "fixed" runs the 12-config mobile matrix (AECM +
-AGC1 adaptive-digital, 8/16/32 kHz) vs output_data_fixed.pb.
+AGC1 adaptive-digital, 8/16/32 kHz) vs output_data_fixed.pb AND — when
+/tmp/refapm/libapm.so exists (tools/build_ref_apm.sh) — vs the
+locally-compiled reference APM. output_data_fixed.pb records the
+reference's ANDROID (ARM) build numerics (WEBRTC_AUDIOPROC_FIXED_PROFILE
+is only defined there), so the oracle columns are the authoritative
+fixed-profile bar on this platform.
 """
 
 from __future__ import annotations
@@ -33,8 +38,13 @@ def main():
             for rev in (1, 2):
                 t0 = time.time()
                 try:
+                    import apm_conformance
+                    import ref_apm
+                    with_oracle = (profile == "fixed"
+                                   and ref_apm.available())
                     res = run_config(rate, ch, rev, max_frames=max_frames,
-                                     profile=profile)
+                                     profile=profile,
+                                     with_oracle=with_oracle)
                     g = golden_for(rate, ch, rev, profile=profile)
                     row = dict(
                         rate=rate, ch=ch, rev=rev, frames=res["frames"],
@@ -48,6 +58,21 @@ def main():
                                        - g.max_output_average) <= 7,
                         secs=round(time.time() - t0, 1),
                     )
+                    if with_oracle:
+                        row.update(
+                            analog_oracle=res[
+                                "oracle_analog_level_average"],
+                            max_out_oracle=res[
+                                "oracle_max_output_average"],
+                            rel_rms_vs_oracle=round(
+                                res["rel_rms_vs_oracle"], 5),
+                            analog_oracle_ok=abs(
+                                res["analog_level_average"]
+                                - res["oracle_analog_level_average"]) <= 1,
+                            max_out_oracle_ok=abs(
+                                res["max_output_average"]
+                                - res["oracle_max_output_average"]) <= 7,
+                        )
                 except Exception as e:  # keep going; record the failure
                     row = dict(rate=rate, ch=ch, rev=rev,
                                error=f"{type(e).__name__}: {e}",
@@ -59,6 +84,12 @@ def main():
     n_ok = sum(1 for r in results
                if r.get("analog_ok") and r.get("max_out_ok"))
     print(f"PASS {n_ok}/{len(results)} at reference tolerances")
+    if any("max_out_oracle_ok" in r for r in results):
+        n_ok = sum(1 for r in results
+                   if r.get("analog_oracle_ok")
+                   and r.get("max_out_oracle_ok"))
+        print(f"PASS {n_ok}/{len(results)} vs the compiled reference "
+              "oracle (authoritative for the fixed/Android profile)")
 
 
 if __name__ == "__main__":
