@@ -220,3 +220,26 @@ class TestFormatChangeStress:
             assert np.all(np.isfinite(out))
             last = (rate, ch)
         assert last is not None
+
+
+def test_analog_level_survives_lazy_initialization():
+    """set_stream_analog_level before the first (format-driven) init must
+    survive it: GainControlImpl keeps analog_capture_level_ across
+    Initialize (gain_control_impl.cc:265-275). In adaptive-digital mode
+    the recommended level echoes the set level back."""
+    import numpy as np
+    from webrtc_audio_processing_tpu import config as cfg
+    from webrtc_audio_processing_tpu.api import AudioProcessing
+
+    c = cfg.Config().replace(
+        gain_controller1=cfg.GainController1(
+            enabled=True, mode=cfg.Agc1Mode.ADAPTIVE_DIGITAL,
+            analog_gain_controller=cfg.AnalogGainController(enabled=False),
+        ),
+    )
+    apm = AudioProcessing(c)
+    frame = np.zeros((80, 1), np.float32)
+    apm.set_stream_analog_level(127)
+    err, _ = apm.process_stream(frame, 8000)  # 8 kHz: not the default geo
+    assert err == 0
+    assert apm.recommended_stream_analog_level() == 127

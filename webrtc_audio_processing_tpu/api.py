@@ -252,6 +252,19 @@ class AudioProcessing:
         # the jit boundary eagerly — some TPU attachments reject eager
         # complex64 arrays (see utils/complex_boundary.py).
         self._state = cb.init_encoded(lambda: apm.init_state(self._geo))
+        # A stream analog level set before the (lazy, format-driven)
+        # initialization survives it: GainControlImpl keeps
+        # analog_capture_level_ across Initialize
+        # (gain_control_impl.cc:265-275, :349) — without this, the init
+        # default (128) leaks into the first recommended_stream_analog_level.
+        if (getattr(self, "_analog_level", None) is not None
+                and self._state.agc1 is not None):
+            from webrtc_audio_processing_tpu.models.agc1 import gain_control
+            self._state = self._state.replace(
+                agc1=gain_control.set_stream_analog_level(
+                    self._state.agc1, self._analog_level
+                )
+            )
         geo = self._geo
 
         def make(parity):
