@@ -77,25 +77,22 @@ def build_step(mode):
         aec3_ring_dtype=os.environ.get("BENCH_RING_DTYPE", "float32"),
     )
 
-    # Carry packing (utils/carry_pack.py): the scan carries the state's
-    # scalar-ish leaves as two dense vectors — XLA's while lowering paid
-    # a copy insertion (~3 us each) per iteration on most of the ~430
-    # separate carry leaves. max_elems=16 packs only the tiny leaves
-    # (per-stream scalars, (C,) pairs, (5,) vectors), where the per-op
-    # overhead dominates and the packed-vector bytes are negligible.
-    state_example = cb.init_encoded(lambda: apm.init_state(geo))
-    pack, unpack, _info = carry_pack.make_codec(state_example,
-                                                max_elems=16)
+    # NOTE on carry packing (utils/carry_pack.py): packing the state's
+    # small leaves into dense vectors at this scan boundary was measured
+    # on-device and REGRESSES badly — tiny-leaf pack (max_elems=16):
+    # 752 ms vs 407 ms per 50-frame chunk at B=1024 (the ~400 concat/
+    # slice ops cost far more than the ~150 while-carry copies they
+    # replace). Keep the plain carry here; the codec remains available
+    # for state serialization use cases.
+    del carry_pack
 
     def init():
-        return jax.jit(
-            lambda: pack(cb.init_encoded(lambda: apm.init_state(geo)))
-        )()
+        return cb.init_encoded(lambda: apm.init_state(geo))
 
     zero = jnp.asarray(0, jnp.int32)
 
-    def pair_step(packed, r0, c0, r1, c1, n0):
-        state = cb.decode(unpack(packed))
+    def pair_step(state, r0, c0, r1, c1, n0):
+        state = cb.decode(state)
         state, _y0, _r, _s = apm.process_stream_pair(
             geo, state, c0, r0, 0, stream_delay_ms=zero,
             applied_input_volume=zero, n0=n0,
@@ -104,7 +101,7 @@ def build_step(mode):
             geo, state, c1, r1, 1, stream_delay_ms=zero,
             applied_input_volume=zero, n0=n0 + 2,
         )
-        return pack(cb.encode(state)), y1[..., 0]
+        return cb.encode(state), y1[..., 0]
 
     frame = rate // 100
     return init, pair_step, frame, cap_ch, ren_ch
