@@ -5,9 +5,11 @@ component set and reports per-frame output deviation — the tool for
 bisecting which module a full-profile conformance miss comes from.
 
 Usage:
-  python tools/diff_vs_ref.py [rate] [frames] [components]
+  python tools/diff_vs_ref.py [rate] [frames] [components] [ch] [rev]
   components: comma list from {aecm,aec,ns,agc1d,agc1a,hpf}, e.g.
   "hpf,ns,aecm,agc1d" (the fixed profile), "hpf,ns,agc1d", "aecm".
+  ch/rev: capture/reverse channel counts (default 1/1; 2 = stereo from
+  the interleaved conformance PCMs).
 
 Requires /tmp/refapm/libapm.so (tools/build_ref_apm.sh).
 """
@@ -66,18 +68,22 @@ def main():
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     comps = set((sys.argv[3] if len(sys.argv) > 3
                  else "hpf,ns,aecm,agc1d").split(","))
+    ch = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    rev = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     far = np.fromfile(f"{REF_RES}/far{rate // 1000}_stereo.pcm", np.int16)
     near = np.fromfile(f"{REF_RES}/near{rate // 1000}_stereo.pcm", np.int16)
     frame = rate // 100
 
-    def mono_frames(pcm):
+    def frames_of(pcm, channels):
         n = len(pcm) // (2 * frame)
         x = pcm[: n * 2 * frame].reshape(n, frame, 2)
-        return ((x[..., 0].astype(np.int32) + x[..., 1]) >> 1).astype(
-            np.int16)[..., None]
+        if channels == 1:
+            return ((x[..., 0].astype(np.int32) + x[..., 1]) >> 1).astype(
+                np.int16)[..., None]
+        return x
 
-    far_f, near_f = mono_frames(far), mono_frames(near)
+    far_f, near_f = frames_of(far, rev), frames_of(near, ch)
     n_frames = min(n_frames, len(far_f), len(near_f))
 
     ours = build_ours(comps, rate)
