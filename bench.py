@@ -199,16 +199,26 @@ def measure_streams(mode, budget_s, batch_sizes):
     t_start = time.perf_counter()
     best_streams = 0
     results = {}
+    min_failed_n = None
     for n in batch_sizes:
         if best_streams and time.perf_counter() - t_start > budget_s:
             print(f"# [{mode}] budget exhausted before n={n}",
                   file=sys.stderr)
             break
+        if min_failed_n is not None and n >= min_failed_n:
+            print(f"# [{mode}] n={n} skipped (>= failed n={min_failed_n})",
+                  file=sys.stderr)
+            continue
         try:
             dt = throughput(n)
         except Exception as e:
             print(f"# [{mode}] n={n} failed: {e}", file=sys.stderr)
-            continue  # e.g. OOM at large n — smaller candidates may fit
+            # e.g. OOM at large n — smaller candidates may still fit, but
+            # anything at least this large will fail again and each doomed
+            # attempt burns a multi-minute compile (no persistent cache on
+            # the attachment).
+            min_failed_n = n if min_failed_n is None else min(min_failed_n, n)
+            continue
         streams = int(n * min(0.010 / dt, 1.0))
         results[n] = dt
         print(f"# [{mode}] n={n}: {dt*1e3:.2f} ms/frame -> {streams} "

@@ -131,3 +131,39 @@ def test_nearend_passthrough_no_far():
     e_in = float(np.mean(near[tail].astype(np.float64) ** 2))
     e_out = float(np.mean(out[tail].astype(np.float64) ** 2))
     assert e_out > 0.5 * e_in, (e_out, e_in)
+
+
+def test_rebuffer_phase_is_traced_not_parity():
+    """The 80->64 core rebuffer phase anchors at the data-dependent
+    startup-exit frame (aecm_core.cc:541-561 while-loop over the frame
+    FIFOs), so process_frame must not depend on the static `parity`
+    argument, and rebuf_fill must cycle 0->16->32->48->0 once enabled."""
+    geo = ecm.AecmGeometry(sample_rate_hz=16000)
+    st0 = ecm.init_state(geo)
+    F = geo.frame_len
+    rng = np.random.default_rng(11)
+    far = (rng.normal(size=40 * F) * 8000).clip(-30000, 30000).astype(np.int32)
+    near = np.roll(far, 160) // 2
+
+    def run(parity_fn):
+        st = st0
+        outs, fills = [], []
+        for k in range(40):
+            st = ecm.buffer_farend(st, jnp.asarray(far[k * F:(k + 1) * F]))
+            st, out = ecm.process_frame(
+                geo, st, jnp.asarray(near[k * F:(k + 1) * F]),
+                parity_fn(k), jnp.asarray(40, jnp.int32),
+            )
+            outs.append(np.asarray(out))
+            fills.append(int(st.rebuf_fill))
+        return np.concatenate(outs), fills, st
+
+    out_a, fills_a, st_a = run(lambda k: 0)
+    out_b, fills_b, st_b = run(lambda k: k % 4)
+    np.testing.assert_array_equal(out_a, out_b)
+    assert fills_a == fills_b
+    # After startup exit the fill cycles through {0,16,32,48} with period
+    # 4 sub-frames = 2 frames at 16 kHz (two 80-sample sub-frames/frame).
+    post = [f for k, f in enumerate(fills_a) if k > 30]
+    assert set(post) <= {0, 16, 32, 48}
+    assert len(set(post)) == 2  # 2 sub-frames/frame -> fill alternates

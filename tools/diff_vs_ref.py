@@ -5,11 +5,16 @@ component set and reports per-frame output deviation — the tool for
 bisecting which module a full-profile conformance miss comes from.
 
 Usage:
-  python tools/diff_vs_ref.py [rate] [frames] [components] [ch] [rev]
+  python tools/diff_vs_ref.py [rate] [frames] [components] [ch] [rev] [delay]
   components: comma list from {aecm,aec,ns,agc1d,agc1a,hpf}, e.g.
   "hpf,ns,aecm,agc1d" (the fixed profile), "hpf,ns,agc1d", "aecm".
   ch/rev: capture/reverse channel counts (default 1/1; 2 = stereo from
   the interleaved conformance PCMs).
+  delay: reported stream delay in ms — either a constant ("0", "120") or
+  "BASEjJITTER" (e.g. "120j20") for a deterministic pseudo-random walk in
+  [BASE-JITTER, BASE+JITTER], exercising the DelayComp/EstBufDelay
+  machinery (echo_control_mobile.cc:530-600) beyond the conformance
+  matrix's small fixed values.
 
 Requires /tmp/refapm/libapm.so (tools/build_ref_apm.sh).
 """
@@ -70,6 +75,14 @@ def main():
                  else "hpf,ns,aecm,agc1d").split(","))
     ch = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     rev = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    delay_spec = sys.argv[6] if len(sys.argv) > 6 else "0"
+    if "j" in delay_spec:
+        base, jitter = (int(v) for v in delay_spec.split("j"))
+    else:
+        base, jitter = int(delay_spec), 0
+    rng = np.random.RandomState(1234)
+    delays = base + (rng.randint(-jitter, jitter + 1, size=4096)
+                     if jitter else np.zeros(4096, np.int64))
 
     far = np.fromfile(f"{REF_RES}/far{rate // 1000}_stereo.pcm", np.int16)
     near = np.fromfile(f"{REF_RES}/near{rate // 1000}_stereo.pcm", np.int16)
@@ -99,8 +112,8 @@ def main():
         ours.process_reverse_stream(
             far_f[k].astype(np.float32) / 32768.0, rate)
         ref.process_reverse_i16(far_f[k], rate)
-        ours.set_stream_delay_ms(0)
-        ref.set_stream_delay_ms(0)
+        ours.set_stream_delay_ms(int(delays[k]))
+        ref.set_stream_delay_ms(int(delays[k]))
         ours.set_stream_analog_level(lvl_o)
         ref.set_stream_analog_level(lvl_r)
         _, out_o = ours.process_stream_int16(near_f[k], rate)

@@ -234,6 +234,15 @@ class AudioProcessing:
         if self._geo is not None and self._geo_key == geo_key:
             return
         self._geo_key = geo_key
+        # Format-driven (re)initialization recreates the render transfer
+        # queues, dropping any render audio queued before this capture
+        # call (InitializeLocked -> AllocateRenderQueue, audio_processing_
+        # impl.cc:615,1148-1199: queues are cleared/recreated, and the
+        # submodules that buffered prior render data are rebuilt). The
+        # reference therefore loses render frames pushed between creation
+        # and the first capture call; reproduce that by clearing our
+        # queued render frames whenever the geometry is rebuilt.
+        self._render_queue.clear()
         self._geo = apm.ApmGeometry.create(
             self._config,
             capture_input_rate=capture_rate,
@@ -268,10 +277,12 @@ class AudioProcessing:
         geo = self._geo
 
         def make(parity):
-            def fn(state, cap, ren, delay_ms, applied_volume, n0):
+            def fn(state, cap, ren, delay_ms, applied_volume, n0,
+                   render_valid):
                 return apm.process_stream_pair(
                     geo, state, cap, ren, parity, stream_delay_ms=delay_ms,
                     applied_input_volume=applied_volume, n0=n0,
+                    render_valid=render_valid,
                 )
 
             return jax.jit(cb.wrap_step(fn))
@@ -374,6 +385,7 @@ class AudioProcessing:
             return kBadSampleRateError, capture
 
         render_bands = None
+        render_is_real = False
         if self._render_queue:
             kind, payload = self._render_queue.popleft()
             if kind == "bands":
@@ -383,6 +395,7 @@ class AudioProcessing:
                 render = None
             else:
                 render = payload
+                render_is_real = True
                 render_rate = render.shape[0] * 100
                 render_channels = render.shape[1]
         else:
@@ -398,11 +411,16 @@ class AudioProcessing:
             sample_rate_hz, capture.shape[1], render_rate, render_channels,
             output_sample_rate_hz,
         )
-        if render_bands is not None and self._geo is not geo_before:
-            # Capture-format change re-initialized the pipeline; the banded
-            # render belongs to the old geometry (the reference drops queued
-            # render on re-init too). Fall back to a silent render frame.
+        if self._geo is not geo_before and (render_bands is not None
+                                            or render is not None):
+            # Capture-format change re-initialized the pipeline; queued
+            # render audio (banded OR raw) belongs to the old geometry and
+            # the reference drops it on re-init (InitializeLocked ->
+            # AllocateRenderQueue clears/recreates the transfer queues and
+            # rebuilds the submodules that buffered prior render data).
+            # Fall back to a silent render frame.
             render_bands = None
+            render_is_real = False
             render = np.zeros(
                 (frame_size(self._geo.render_input_rate),
                  self._geo.num_render_channels), np.float32,
@@ -429,6 +447,7 @@ class AudioProcessing:
                 jnp.asarray(self._stream_delay_ms, jnp.int32),
                 jnp.asarray(getattr(self, "_analog_level", 0), jnp.int32),
                 jnp.asarray(n0, jnp.int32),
+                jnp.asarray(render_is_real),
             )
         self._frame_index += 1
         self._last_stats = stats

@@ -380,19 +380,25 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
             jnp.asarray(c.pre_amplifier.fixed_gain_factor, dtype)
             if c.pre_amplifier.enabled else None
         ),
-        # Full-band HPF runs before the mono narrowing and therefore on the
-        # output channel count; split-band HPF runs after, on the
-        # processing channels (InitializeHighPassFilter,
-        # audio_processing_impl.cc:1893-1900).
+        # The HPF exists whenever required by config OR forced by an
+        # active mobile AECM or noise suppressor
+        # (HighPassFilteringRequired, audio_processing_impl.cc:439-442) OR
+        # enforced by the desktop AEC (InitializeHighPassFilter,
+        # :1883-1890 — note `!mobile_mode` on the enforce term). Full-band
+        # HPF runs before the mono narrowing and therefore on the output
+        # channel count; split-band HPF runs after, on the processing
+        # channels (:1891-1896).
         hpf=(hpf.init_state(
                 geo.num_capture_channels
-                if (c.high_pass_filter.apply_in_full_band
-                    and not (c.echo_canceller.enabled and num_bands > 1))
+                if c.high_pass_filter.apply_in_full_band
                 else proc_ch,
                 dtype)
              if c.high_pass_filter.enabled
+             or (c.echo_canceller.enabled and c.echo_canceller.mobile_mode)
+             or c.noise_suppression.enabled
              or (c.echo_canceller.enabled
-                 and c.echo_canceller.enforce_high_pass_filtering)
+                 and c.echo_canceller.enforce_high_pass_filtering
+                 and not c.echo_canceller.mobile_mode)
              else None),
         cla=(cla.init_state(
                 c.capture_level_adjustment.pre_gain_factor,
@@ -452,15 +458,33 @@ def init_state(geo: ApmGeometry, dtype=jnp.float32) -> ApmState:
     )
 
 
-def process_render_stream(geo: ApmGeometry, state: ApmState, render_frame):
+def process_render_stream(geo: ApmGeometry, state: ApmState, render_frame,
+                          feed_valid=None):
     """Render half (ProcessRenderStreamLocked, audio_processing_impl.cc
     :1653-1687): pre-process, analyze, band-split, queue for the capture-side
     consumers, and produce the processed render output (the reference's
     AudioConverter path, :1594-1605).
 
+    ``feed_valid``: optional traced bool. When False the render-queue
+    consumers (echo detector, AGC1, AECM far FIFO) are NOT fed — the
+    reference's EmptyQueuedRenderAudioLocked finds an empty queue when no
+    render frame was pushed (or queued render was dropped by a
+    format-driven re-init) and simply skips them; a fabricated silent
+    frame must not advance their counters. None means statically valid
+    (no gating ops traced — the serving hot path).
+
     Returns (state, render_out, render_bands); ``render_bands`` is the
     split-band render signal to hand to ``process_capture_stream``.
     """
+
+    def _gate(new_leaf_tree, old_leaf_tree):
+        if feed_valid is None:
+            return new_leaf_tree
+        return jax.tree_util.tree_map(
+            lambda a, b: a if a is b else jnp.where(feed_valid, a, b),
+            new_leaf_tree, old_leaf_tree,
+        )
+
     ren_cfg = geo.render_buffer_config()
     inj = geo.injections
 
@@ -476,7 +500,8 @@ def process_render_stream(geo: ApmGeometry, state: ApmState, render_frame):
     # Echo detector render analysis (QueueNonbandedRenderAudio, :1663).
     if state.ed is not None:
         state = state.replace(
-            ed=_ed_module(geo).analyze_render_audio(state.ed, r)
+            ed=_gate(_ed_module(geo).analyze_render_audio(state.ed, r),
+                     state.ed)
         )
     if ren_cfg.num_bands > 1:
         rbuf, render_bands = audio_buffer.split_into_frequency_bands(
@@ -495,7 +520,8 @@ def process_render_stream(geo: ApmGeometry, state: ApmState, render_frame):
         n_ch = render_bands.shape[-1]
         far = jnp.sign(ssum) * (jnp.abs(ssum) // n_ch)
         state = state.replace(
-            agc1=gc1.process_render_audio(agc1_cfg, state.agc1, far)
+            agc1=_gate(gc1.process_render_audio(agc1_cfg, state.agc1, far),
+                       state.agc1)
         )
     # AECM far-end buffering: canceller (i, j) receives render channel
     # j's band 0 in int16, capture-major handle order
@@ -506,7 +532,8 @@ def process_render_stream(geo: ApmGeometry, state: ApmState, render_frame):
             far.T, (geo.capture_processing_channels, 1)
         )
         state = state.replace(
-            aecm=jax.vmap(ecm.buffer_farend)(state.aecm, far_per)
+            aecm=_gate(jax.vmap(ecm.buffer_farend)(state.aecm, far_per),
+                       state.aecm)
         )
     # Render output: merge of the (possibly pre-processed) bands, converted
     # back to the render output format — the reference's
@@ -536,6 +563,10 @@ def process_stream_pair(
     #           (see aec3/render_buffer.py).
     render_bands=None,  # pre-banded render from process_render_stream; set
     #           when the render half already ran for this frame.
+    render_valid=None,  # optional traced bool: False when render_frame is
+    #           a fabricated silent frame (no queued render, or queued
+    #           render dropped by a format re-init) — the render-queue
+    #           consumers are then not fed (see process_render_stream).
 ):
     """One paired 10 ms step: render analysis + capture processing.
 
@@ -554,21 +585,30 @@ def process_stream_pair(
     inj = geo.injections
     if render_frame is not None and render_bands is None:
         state, render_out, render_bands = process_render_stream(
-            geo, state, render_frame
+            geo, state, render_frame, feed_valid=render_valid
         )
 
     # ---------------- Capture side (ProcessCaptureStreamLocked :1264-1561).
     cbuf, y = audio_buffer.copy_from(cap_cfg, state.capture_buffer,
                                      capture_frame)
 
-    # Full-band HPF (:1282-1287) — runs before the level adjustments.
+    # Full-band HPF (:1282-1287) — runs before the level adjustments
+    # whenever apply_in_full_band (default true; the
+    # WebRTC-FullBandHpfKillSwitch field trial that forces split-band is
+    # not registered here, matching its default-off state). Coefficients
+    # are selected at proc_fullband_sample_rate_hz (the 48 kHz output
+    # buffer rate when proc < output == 48 kHz) while the data filtered
+    # is the proc-rate buffer — the reference's exact (quirky) pairing
+    # (InitializeHighPassFilter :1891-1896 + Process call :1282-1287).
     new_hpf = state.hpf
     apply_hpf = state.hpf is not None
-    hpf_full_band = c.high_pass_filter.apply_in_full_band and not (
-        c.echo_canceller.enabled and cap_cfg.num_bands > 1
-    )
-    if apply_hpf and hpf_full_band and cap_cfg.num_bands == 1:
-        new_hpf, y = hpf.process(state.hpf, y, geo.capture_processing_rate)
+    hpf_full_band = c.high_pass_filter.apply_in_full_band
+    if apply_hpf and hpf_full_band:
+        hpf_rate = (48000
+                    if (geo.capture_output_rate == 48000
+                        and geo.capture_processing_rate < 48000)
+                    else geo.capture_processing_rate)
+        new_hpf, y = hpf.process(state.hpf, y, hpf_rate)
 
     # Pre-amplifier / capture level pre-gain (:1289-1299; the pre-amplifier
     # is routed through the capture levels adjuster in the reference,
@@ -626,8 +666,8 @@ def process_stream_pair(
         bands = bands[..., : geo.capture_processing_channels]
         y = y[..., : geo.capture_processing_channels]
 
-    # Split-band HPF (:1375-1380).
-    if apply_hpf and not (hpf_full_band and cap_cfg.num_bands == 1):
+    # Split-band HPF (:1375-1380) — only when not applied in full band.
+    if apply_hpf and not hpf_full_band:
         new_hpf, b0 = hpf.process(state.hpf, bands[0], 16000)
         bands = bands.at[0].set(b0)
 

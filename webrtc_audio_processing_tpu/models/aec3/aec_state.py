@@ -6,10 +6,10 @@ erle_estimator.cc / subband_erle_estimator.cc / fullband_erle_estimator.cc,
 erl_estimator.cc, reverb_model.cc, reverb_frequency_response.cc,
 reverb_model_estimator.cc).
 
-Deliberately omitted relative to the reference (OFF in the default config,
-gated identically here):
-- Adaptive reverb decay estimation (active only when ep_strength.default_len
-  < 0); the fixed default decay path is implemented.
+Adaptive reverb decay estimation (active only when ep_strength.default_len
+< 0) is implemented in reverb_decay_estimator.py and wired below; the fixed
+default decay path is used under the default config, gated identically to
+the reference.
 EchoAudibility / StationarityEstimator live in echo_audibility.py (active
 when echo_audibility.use_stationarity_properties); the signal-dependent
 ERLE estimator lives in signal_dependent_erle.py (active when

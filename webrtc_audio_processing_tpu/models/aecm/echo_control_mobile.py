@@ -15,10 +15,17 @@ Design notes (TPU-first):
   exit, EstBufDelay stuffs, knownDelay shifts) therefore reproduces
   exactly -- at stream delay 0 the core sees the far signal one 80-sample
   frame late, exactly as the reference's FIFO leaves it.
-- The 80/160-sample frame to 64-sample block rebuffering has a
-  deterministic leftover cycle (period 64/gcd(frame,64): 2 at 16 kHz, 4 at
-  8 kHz), so `parity` is a static argument and each parity compiles its
-  own fixed number of core blocks - same pattern as the AEC3 wrapper.
+- The 80-sample sub-frame to 64-sample block rebuffering
+  (WebRtcAecm_ProcessFrame's farFrameBuf/nearNoisyFrameBuf,
+  aecm_core.cc:514-561) starts accumulating at the first ENABLED frame —
+  the startup exit frame is data-dependent, so the leftover phase is a
+  traced scalar, not a static parity. The leftover length cycles through
+  {0, 16, 32, 48} (l' = (l+16) mod 64); the write-at-l is a 4-way select
+  of statically-shifted concatenations, block 0/1 are static 64-sample
+  slices of the 128-sample assembly, and the second core block (present
+  only at l == 48) is computed unconditionally and committed by a
+  tree-select — fixed shapes, no per-stream dynamic indices (the TPU
+  vmap rule; see PERF.md).
 - Output short-fall stuffing (aecm_core.cc:1380-1386 MoveReadPtr) is
   reproduced with an output ring whose read pointer can move back into
   zero-initialized space on the first frames.
@@ -38,7 +45,7 @@ from webrtc_audio_processing_tpu.models.aecm import core as aecm_core
 FAR_RING = 8192  # > FIFO_CAP + max in-flight; power of two for cheap mod
 OUT_RING = 512
 FIFO_CAP = 50 * 80  # kBufSizeSamp (echo_control_mobile.cc:32-39)
-CORE_FAR_LEN = 512  # FAR_BUF_LEN = PART_LEN4 (aecm_defines.h:25)
+CORE_FAR_LEN = 256  # FAR_BUF_LEN = PART_LEN4 = 64<<2 (aecm_defines.h:19-25)
 
 
 def _block_schedule(frame_len: int):
@@ -72,7 +79,9 @@ class AecmGeometry:
 
     @property
     def period(self) -> int:
-        return len(_block_schedule(self.frame_len)[0])
+        # The 80->64 rebuffer phase is traced state (rebuf_fill), not a
+        # static schedule — one compiled step covers every frame index.
+        return 1
 
     @property
     def schedule(self):
@@ -84,8 +93,9 @@ class AecmState:
     core: aecm_core.AecmCoreState
     far_ring: jnp.ndarray  # (FAR_RING,) int32 raw render history
     far_written: jnp.ndarray  # () int32 absolute samples written (FIFO wr)
-    far_leftover: jnp.ndarray  # (64,) int32 synced far tail
-    near_leftover: jnp.ndarray  # (64,) int32
+    far_leftover: jnp.ndarray  # (48,) int32 synced far tail (valid: rebuf_fill)
+    near_leftover: jnp.ndarray  # (48,) int32
+    rebuf_fill: jnp.ndarray  # () int32 leftover length in {0,16,32,48}
     near_abs: jnp.ndarray  # () int32 absolute near samples consumed
     out_ring: jnp.ndarray  # (OUT_RING,) int32
     out_written: jnp.ndarray  # () int32
@@ -119,8 +129,9 @@ def init_state(geo: AecmGeometry) -> AecmState:
         core=aecm_core.init_core(geo.sample_rate_hz, geo.echo_mode),
         far_ring=jnp.zeros((FAR_RING,), jnp.int32),
         far_written=z,
-        far_leftover=jnp.zeros((64,), jnp.int32),
-        near_leftover=jnp.zeros((64,), jnp.int32),
+        far_leftover=jnp.zeros((48,), jnp.int32),
+        near_leftover=jnp.zeros((48,), jnp.int32),
+        rebuf_fill=z,
         near_abs=z,
         out_ring=jnp.zeros((OUT_RING,), jnp.int32),
         out_written=z,
@@ -206,9 +217,13 @@ def _startup_step(geo: AecmGeometry, state: AecmState, ms):
     ctr = state.check_buf_size_ctr + 1
     first_val = jnp.where(state.stable_counter == 0, ms, state.first_val)
     ms_sum0 = jnp.where(state.stable_counter == 0, 0, state.ms_sum)
-    stable = jnp.abs(first_val - ms).astype(jnp.float32) < jnp.maximum(
-        0.2 * ms.astype(jnp.float32), 8.0
-    )  # kSampMsNb = 8 (echo_control_mobile.cc:316-318)
+    # |firstVal - ms| < max(0.2*ms, 8) with the 0.2*ms computed in C
+    # double (echo_control_mobile.cc:316-318). For integer operands the
+    # double comparison is exactly the integer test 5*|d| < ms (the
+    # double rounding error ~1e-16 can never bridge the >=0.2 gap between
+    # representable values of |d| - ms/5); kSampMsNb = 8.
+    delta = jnp.abs(first_val - ms)
+    stable = (5 * delta < ms) | (delta < 8)
     ms_sum = jnp.where(stable, ms_sum0 + ms, ms_sum0)
     counter = jnp.where(stable, state.stable_counter + 1, 0)
 
@@ -246,9 +261,9 @@ def _enabled_step(geo: AecmGeometry, state: AecmState, near_frame,
                   parity: int, ms):
     """The enabled branch (echo_control_mobile.cc:364-403): per 80-sample
     sub-frame — FIFO read (or farendOld reuse), EstBufDelay once per 10 ms,
-    core far buffering/fetch by knownDelay, 64-sample block processing,
-    output-shortfall stuffing. Returns (state, out_frame)."""
-    leftovers, blocks = _block_schedule(SUB)
+    core far buffering/fetch, 64-sample block processing with the traced
+    leftover phase (see module docstring), output-shortfall stuffing.
+    Returns (state, out_frame)."""
     mult = geo.mult
     est_idx = 0 if geo.sample_rate_hz == 8000 else 1
 
@@ -257,6 +272,7 @@ def _enabled_step(geo: AecmGeometry, state: AecmState, near_frame,
         state.out_ring, state.out_written, state.out_read
     )
     near_l, far_l = state.near_leftover, state.far_leftover
+    fill = state.rebuf_fill
     fifo_read = state.fifo_read
     farend_old = state.farend_old
     filt_delay = state.filt_delay
@@ -267,6 +283,21 @@ def _enabled_step(geo: AecmGeometry, state: AecmState, near_frame,
     fetched_ring = state.fetched_ring
     fetched_written = state.fetched_written
     fetch_read = state.fetch_read
+
+    def _assemble(leftover_buf, new80, l):
+        """concat(leftover_buf[:l], new80) zero-padded to 128 — built as a
+        4-way select of statically-shifted concatenations (l in
+        {0,16,32,48})."""
+        outs = []
+        for v in (0, 16, 32, 48):
+            outs.append(jnp.concatenate(
+                [leftover_buf[:v], new80,
+                 jnp.zeros((48 - v,), leftover_buf.dtype)]
+            ))
+        stacked = jnp.stack(outs)  # (4, 128)
+        sel = (l // 16).astype(jnp.int32)
+        onehot = (jnp.arange(4, dtype=jnp.int32) == sel)
+        return jnp.sum(jnp.where(onehot[:, None], stacked, 0), axis=0)
 
     outs = []
     for s in range(mult):
@@ -309,39 +340,57 @@ def _enabled_step(geo: AecmGeometry, state: AecmState, near_frame,
                 tfc > 25, jnp.maximum(filt_delay - 160, 0), known_delay
             )
 
-        # Core BufferFarFrame + FetchFarFrame(knownDelay)
-        # (aecm_core.cc:514-529, 1072-1127). Absolute counters with mod-512
-        # reads reproduce the farBuf wrap behavior exactly.
+        # Core BufferFarFrame + FetchFarFrame (aecm_core.cc:514-529,
+        # 1072-1127). The knownDelay argument of FetchFarFrame is the
+        # CORE's field, which M145 initializes to 0 and never writes again
+        # (aecm_core.cc:385 is its only assignment; the ProcessFrame call
+        # passing the wrapper's EstBufDelay estimate is commented out,
+        # echo_control_mobile.cc:393-395) — so the core far path is a
+        # plain FIFO: read chases write with no delay jumps, and the
+        # wrapper's knownDelay only feeds the EstBufDelay diff logic.
         widx = jnp.mod(fetched_written + jnp.arange(SUB), CORE_FAR_LEN)
         fetched_ring = fetched_ring.at[widx].set(far_fifo)
         fetched_written = fetched_written + SUB
-        fetch_read = fetch_read - (known_delay - last_known_delay)
-        last_known_delay = known_delay
         ridx = jnp.mod(fetch_read + jnp.arange(SUB), CORE_FAR_LEN)
         far_core = fetched_ring[ridx]
         fetch_read = fetch_read + SUB
 
-        sub_parity = (parity * mult + s) % len(leftovers)
-        l_in = leftovers[sub_parity]
-        n_blocks = blocks[sub_parity]
-        l_out = (l_in + SUB) % aecm_core.PART_LEN
-        near_cat = jnp.concatenate(
-            [near_l[:l_in], near_frame[s * SUB:(s + 1) * SUB]]
-        )
-        far_cat = jnp.concatenate([far_l[:l_in], far_core])
-        for b in range(n_blocks):
-            sl = slice(b * 64, (b + 1) * 64)
-            core, out_block = aecm_core.process_block(
-                core, far_cat[sl], near_cat[sl], mult,
-                echo_mode=geo.echo_mode, nlp=geo.nlp, cng=geo.cng,
-            )
-            oidx = jnp.mod(out_written + jnp.arange(64), OUT_RING)
-            out_ring = out_ring.at[oidx].set(out_block)
-            out_written = out_written + 64
+        # Rebuffer 80 new samples behind the traced leftover (length
+        # `fill` in {0,16,32,48}); fill+80 yields 1 block, except fill==48
+        # yields 2 (the reference's while-available>=64 loop,
+        # aecm_core.cc:541-561). Both blocks are computed; the second is
+        # committed only when present.
+        near_cat = _assemble(near_l, near_frame[s * SUB:(s + 1) * SUB], fill)
+        far_cat = _assemble(far_l, far_core, fill)
+        two_blocks = fill == 48
 
-        tail = n_blocks * aecm_core.PART_LEN
-        near_l = jnp.pad(near_cat[tail:], (0, 64 - l_out))
-        far_l = jnp.pad(far_cat[tail:], (0, 64 - l_out))
+        core1, out_b0 = aecm_core.process_block(
+            core, far_cat[:64], near_cat[:64], mult,
+            echo_mode=geo.echo_mode, nlp=geo.nlp, cng=geo.cng,
+        )
+        core2, out_b1 = aecm_core.process_block(
+            core1, far_cat[64:128], near_cat[64:128], mult,
+            echo_mode=geo.echo_mode, nlp=geo.nlp, cng=geo.cng,
+        )
+        core = jax.tree_util.tree_map(
+            lambda a, b: a if a is b else jnp.where(two_blocks, a, b),
+            core2, core1,
+        )
+        oidx = jnp.mod(out_written + jnp.arange(64), OUT_RING)
+        out_ring = out_ring.at[oidx].set(out_b0)
+        out_written = out_written + 64
+        oidx = jnp.mod(out_written + jnp.arange(64), OUT_RING)
+        out_ring = out_ring.at[oidx].set(
+            jnp.where(two_blocks, out_b1, out_ring[oidx])
+        )
+        out_written = out_written + jnp.where(two_blocks, 64, 0)
+
+        # New leftover: the tail past the consumed blocks. With one block
+        # it is cat[64:64+fill+16] (<=48 samples, static slice suffices);
+        # with two blocks it is empty.
+        near_l = jnp.where(two_blocks, 0, near_cat[64:112])
+        far_l = jnp.where(two_blocks, 0, far_cat[64:112])
+        fill = jnp.where(two_blocks, 0, fill + 16)
 
         # Output stuffing per 80-sample sub-frame (aecm_core.cc:1345-1351):
         # on shortfall the read pointer moves back, re-emitting ring
@@ -358,6 +407,7 @@ def _enabled_step(geo: AecmGeometry, state: AecmState, near_frame,
         core=core,
         near_leftover=near_l,
         far_leftover=far_l,
+        rebuf_fill=fill,
         out_ring=out_ring,
         out_written=out_written,
         out_read=out_read,
@@ -382,17 +432,19 @@ def process_frame(geo: AecmGeometry, state: AecmState, near_frame,
     """One 10ms capture frame: WebRtcAecm_Process
     (echo_control_mobile.cc:240-403).
 
-    near_frame: (frame_len,) int32 int16-valued; parity: static frame index
-    mod `geo.period`; stream_delay_ms: () int32 reported delay
+    near_frame: (frame_len,) int32 int16-valued; parity: unused (kept for
+    signature stability — the rebuffer phase is traced state, see module
+    docstring); stream_delay_ms: () int32 reported delay
     (set_stream_delay_ms). Returns (state, out_frame).
 
     Both the startup and enabled branches are computed every frame (traced
     control flow); the per-leaf select on `ec_startup` applies exactly one.
     The reference processes `mult` consecutive FRAME_LEN=80 sub-frames per
     10 ms frame regardless of rate, each with its own 64-block rebuffering
-    and 80-sample output read with shortfall stuffing — that exact cadence
-    (including the 16-sample stuffs after startup) is reproduced so the
-    output stream is sample-aligned with the reference's.
+    (phase anchored at the data-dependent startup exit) and 80-sample
+    output read with shortfall stuffing — that exact cadence (including
+    the 16-sample stuffs after startup) is reproduced so the output
+    stream is sample-aligned with the reference's.
     """
     near_frame = near_frame.astype(jnp.int32)
     # msInSndCardBuf clamp + 10 (echo_control_mobile.cc:270-285).
