@@ -49,13 +49,30 @@ class Aec3Geometry:
     # ApmDataDumper (modules/audio_processing/logging/apm_data_dumper.h;
     # WEBRTC_APM_DEBUG_DUMP builds).
     debug_taps: bool = False
+    # Pair-phase restructured capture path (docs/design/
+    # subtractor_megakernel.md): hoist the delay stack and render-signal
+    # analyzer ahead of the frame's block loop, run the subtractor for all
+    # blocks as one unit, then the aec-state/suppression loop. Two
+    # documented <=2-block stalenesses vs the strictly-interleaved path
+    # (analyzer min_filter_delay, subtractor initial-state transition).
+    pair_phase: bool = True
+    # Pallas subtractor pair-megakernel for phase B (TPU only, C_cap == 1;
+    # ops/pallas_subtractor.py). The XLA pair path is its tested fallback.
+    pair_kernel: bool = True
 
     @staticmethod
     def create(config: EchoCanceller3Config, sample_rate_hz: int,
                num_render: int, num_capture: int,
                nree: object | None = None,
                debug_taps: bool = False,
-               ring_dtype: str = "float32") -> "Aec3Geometry":
+               ring_dtype: str = "float32",
+               pair_phase: bool | None = None,
+               pair_kernel: bool | None = None) -> "Aec3Geometry":
+        import os
+        if pair_phase is None:
+            pair_phase = os.environ.get("AEC3_PAIR_PHASE", "1") != "0"
+        if pair_kernel is None:
+            pair_kernel = os.environ.get("AEC3_PAIR_KERNEL", "1") != "0"
         return Aec3Geometry(
             config=config,
             sample_rate_hz=sample_rate_hz,
@@ -67,6 +84,8 @@ class Aec3Geometry:
             delay=de.DelayGeometry.create(config),
             nree=nree,
             debug_taps=debug_taps,
+            pair_phase=pair_phase,
+            pair_kernel=pair_kernel,
         )
 
 
@@ -175,16 +194,19 @@ def _detect_saturation(y):
     return jnp.any(jnp.abs(y) >= 32700.0)
 
 
-def _process_capture_block(
+def _delay_phase_block(
     geo: Aec3Geometry,
     state: EchoCanceller3State,
     capture_block,  # (bands, 64, C_cap)
-    echo_path_gain_change,
     n,  # () int32 — uniform total insert count (see render_buffer.py)
-    pending_count: int = 0,  # static: staged sf rows (render_buffer.py)
 ):
-    """BlockProcessorImpl::ProcessCapture (block_processor.cc:84-200) for one
-    block. Returns (state, out_block, linear_block, taps)."""
+    """The delay-stack part of BlockProcessorImpl::ProcessCapture
+    (block_processor.cc:84-174): first-capture reset, render overrun
+    flush, buffer events, delay estimation and ring alignment — all of it
+    independent of the echo remover, so the pair path can run it for
+    every block of the frame ahead of the subtractor.
+
+    Returns (state, delay_change, est_delay, est_valid)."""
     cfg = geo.config
 
     # First-capture reset (block_processor.cc:102-113). Render always starts
@@ -232,27 +254,40 @@ def _process_capture_block(
     # AlignFromDelay is a no-op when no estimate exists yet.
     delay_change = delay_change | changed
 
-    clock_drift = cfg.echo_removal_control.has_clock_drift | (
-        delay_state.clockdrift.level != 0
+    new_state = state.replace(
+        buffer=buffer,
+        delay=delay_state,
+        capture_started=jnp.asarray(True),
+        render_event_pending=jnp.asarray(0, jnp.int32),
     )
-    del clock_drift  # config-level clock drift flag is used inside remover
+    return new_state, delay_change, est_delay, est_valid
+
+
+def _process_capture_block(
+    geo: Aec3Geometry,
+    state: EchoCanceller3State,
+    capture_block,  # (bands, 64, C_cap)
+    echo_path_gain_change,
+    n,  # () int32 — uniform total insert count (see render_buffer.py)
+    pending_count: int = 0,  # static: staged sf rows (render_buffer.py)
+):
+    """BlockProcessorImpl::ProcessCapture (block_processor.cc:84-200) for one
+    block. Returns (state, out_block, linear_block, taps)."""
+    cfg = geo.config
+    state, delay_change, est_delay, est_valid = _delay_phase_block(
+        geo, state, capture_block, n
+    )
 
     taps = {} if geo.debug_taps else None
     remover, out_block, linear = er.process_capture(
         cfg, state.remover, geo.buffer,
-        rb.RenderView(buffer, n, pending_count),
+        rb.RenderView(state.buffer, n, pending_count),
         capture_block,
         delay_change, echo_path_gain_change, state.saturated_microphone,
         est_delay, est_valid, nree=geo.nree, taps=taps,
     )
 
-    new_state = state.replace(
-        buffer=buffer,
-        delay=delay_state,
-        remover=remover,
-        capture_started=jnp.asarray(True),
-        render_event_pending=jnp.asarray(0, jnp.int32),
-    )
+    new_state = state.replace(remover=remover)
     return new_state, out_block, linear, taps
 
 
@@ -350,12 +385,38 @@ def process_frame(
     linear_blocks = []
     taps = None
     pending_count = 2 if parity == 0 else rb.PAIR_BLOCKS
-    for blk in c_blocks:
-        state, out_blk, linear, taps = _process_capture_block(
-            geo, state, blk, jnp.asarray(level_change), n, pending_count
+    if geo.pair_phase:
+        # Phase-split capture path (docs/design/subtractor_megakernel.md):
+        # the delay stack for every block first, then the echo remover's
+        # three-phase pair form.
+        views, dchanges, edelays, evalids = [], [], [], []
+        for blk in c_blocks:
+            state, dch, ed, ev = _delay_phase_block(geo, state, blk, n)
+            views.append(rb.RenderView(state.buffer, n, pending_count))
+            dchanges.append(dch)
+            edelays.append(ed)
+            evalids.append(ev)
+        taps = {} if geo.debug_taps else None
+        # The Pallas megakernel runs on real TPU only; elsewhere (CPU
+        # tests/conformance) the XLA pair path is the same semantics.
+        use_kernel = geo.pair_kernel and jax.default_backend() == "tpu"
+        remover, outs, linears = er.process_capture_pair(
+            cfg, state.remover, geo.buffer, views, list(c_blocks),
+            dchanges, jnp.asarray(level_change),
+            state.saturated_microphone, edelays, evalids,
+            nree=geo.nree, taps=taps,
+            use_subtractor_kernel=use_kernel,
         )
-        out_blocks.append(out_blk)
-        linear_blocks.append(jnp.swapaxes(linear, 0, 1)[None])  # (1, 64, C)
+        state = state.replace(remover=remover)
+        out_blocks = list(outs)
+        linear_blocks = [jnp.swapaxes(e, 0, 1)[None] for e in linears]
+    else:
+        for blk in c_blocks:
+            state, out_blk, linear, taps = _process_capture_block(
+                geo, state, blk, jnp.asarray(level_change), n, pending_count
+            )
+            out_blocks.append(out_blk)
+            linear_blocks.append(jnp.swapaxes(linear, 0, 1)[None])
 
     out_frame, out_carry = _frame_from_blocks(out_blocks,
                                               state.output_framer_carry,

@@ -933,3 +933,288 @@ def process_capture(
         refined_last_selected=use_refined,
     )
     return new_state, out, e
+
+
+def process_capture_pair(
+    config: EchoCanceller3Config,
+    state: EchoRemoverState,
+    geo: rb.BufferGeometry,
+    views,  # list of rb.RenderView, one per capture block (post-align)
+    capture_blocks,  # list of (bands, 64, C)
+    delay_changes,  # list of () bool per block
+    gain_change,  # () bool (frame-level echo path gain change)
+    capture_signal_saturation,  # () bool
+    external_delays,  # list of () int32 per block
+    external_delay_valids,  # list of () bool per block
+    nree=None,
+    taps=None,
+    use_subtractor_kernel: bool = False,  # Pallas pair-megakernel for
+    #   phase B (C_cap == 1 only; ops/pallas_subtractor.py)
+):
+    """EchoRemoverImpl::ProcessCapture for ALL capture blocks of one frame,
+    restructured into three phases (docs/design/subtractor_megakernel.md):
+
+    A) render-side per-block work hoisted ahead of the subtractor — the
+       consolidated window CHAINS (two sf spans + two blocks spans per
+       frame instead of per block), the RenderSignalAnalyzer evolution,
+       and the gain-change hangover;
+    B) the subtractor for all blocks as one unit (subtractor.process_pair
+       — the megakernel's semantic reference);
+    C) the per-block aec-state / comfort-noise / residual / suppression
+       loop, unchanged.
+
+    Accepted deviations vs the strictly-interleaved reference (validated
+    by the float conformance matrix):
+    - the analyzer's min_filter_delay and the subtractor's initial-state
+      transition use the FRAME-ENTRY aec-state values (<= 2 blocks stale;
+      min_filter_delay only gates narrowband masking of the NLMS mu, and
+      the transition fires once per stream lifetime).
+
+    Returns (state, [out_block per block], [linear e per block]).
+    """
+    nb = len(views)
+    y0s = [jnp.swapaxes(cb[0], 0, 1) for cb in capture_blocks]  # (C, 64)
+
+    p_ref_max = state.subtractor.refined.H.shape[1]
+    headroom_blocks = int(config.delay.delay_headroom_samples) // 64
+    delay_bound = max(config.filter.refined.length_blocks, headroom_blocks + 1)
+    spec_win_len = min(
+        max(p_ref_max, delay_bound + 2)
+        + max(config.echo_model.render_post_window_size, 1) + 1,
+        geo.num_blocks,
+    )
+    W_b = min(delay_bound, geo.num_blocks)
+    L = geo.num_blocks
+
+    # ---- Phase A1: per-pair chains. Each block's windows are contiguous
+    # ring spans whose starts move by exactly -1 (sf) / +1 (blocks) per
+    # block except across a delay jump; two chains (block-0 trajectory +
+    # last-block anchor) cover every block whenever at most one jump lands
+    # inside the frame (the matched filter emits at most one new estimate
+    # per 6 blocks), selected per block by which chain contains its start.
+    W_chain = spec_win_len + nb - 1
+    W_bchain = W_b + nb - 1
+    sf_starts = [rb.s_read_index(geo, v.state, v.n) for v in views]
+    sf_anchor_a = jnp.mod(sf_starts[0] - (nb - 1), L)
+    sf_anchor_b = sf_starts[-1]
+    sf_chain = jnp.concatenate([
+        rb.sf_span(geo, views[-1], sf_anchor_a, W_chain),
+        rb.sf_span(geo, views[-1], sf_anchor_b, W_chain),
+    ])  # (2*W_chain, sf_row_fp)
+
+    b_starts = [
+        jnp.mod(rb.b_read_index(geo, v.state, v.n) - (W_b - 1), L)
+        for v in views
+    ]
+    b_anchor_a = b_starts[0]
+    b_anchor_b = jnp.mod(b_starts[-1] - (nb - 1), L)
+    b_chain = jnp.concatenate([
+        rb.blocks_span(geo, views[-1], b_anchor_a, W_bchain),
+        rb.blocks_span(geo, views[-1], b_anchor_b, W_bchain),
+    ])  # (2*W_bchain, blocks_row_fp)
+
+    def chain_offset(start, anchor_a, anchor_b, width):
+        # Offset into the concatenated [chain_a | chain_b] rows. Prefer
+        # chain B (the post-jump anchor); a start matching neither chain
+        # (two trajectory breaks in one frame — not reachable under
+        # paired stepping) clamps into chain A.
+        off_a = jnp.mod(start - anchor_a, L)
+        off_b = jnp.mod(start - anchor_b, L)
+        use_b = off_b <= nb - 1
+        return jnp.where(use_b, width + off_b, jnp.clip(off_a, 0, nb - 1))
+
+    sf_rows_k, blocks_win_k, sf_offs = [], [], []
+    for k in range(nb):
+        off = chain_offset(sf_starts[k], sf_anchor_a, sf_anchor_b, W_chain)
+        sf_offs.append(off)
+        sf_rows_k.append(rb.window_slice(sf_chain, off, spec_win_len))
+        boff = chain_offset(b_starts[k], b_anchor_a, b_anchor_b, W_bchain)
+        rows = rb.window_slice(b_chain, boff, W_b)
+        blocks_win_k.append(
+            rows[::-1, : geo.blocks_row_f].reshape(
+                (W_b,) + geo.block_row_shape
+            )
+        )
+
+    spec_wins = [rb._sf_spectrum(geo, r) for r in sf_rows_k]
+    kernel_mode = (use_subtractor_kernel
+                   and capture_blocks[0].shape[-1] == 1)
+    X_windows = (None if kernel_mode
+                 else [rb._sf_fft(geo, r[:p_ref_max]) for r in sf_rows_k])
+
+    # ---- Phase A2: gain-change hangover + analyzer evolution + the
+    # per-block echo-path-change selects for the aec/suppressor (their
+    # state machines stay per-block in phase C; only the flags are
+    # precomputed here).
+    gain_changes, hangover = [], state.gain_change_hangover
+    for k in range(nb):
+        gc = gain_change & (hangover == 0)
+        hangover = jnp.where(gc, 3, jnp.maximum(hangover - 1, 0))
+        gain_changes.append(gc)
+
+    analyzer = state.analyzer
+    analyzer_states = []
+    min_delay0 = state.aec.min_filter_delay  # frame-entry (accepted stale)
+    for k in range(nb):
+        analyzer = subt.analyzer_update(
+            config, analyzer, geo, views[k], min_delay0, jnp.asarray(True),
+            spec_win=spec_wins[k], block0=blocks_win_k[k][0],
+        )
+        analyzer_states.append(analyzer)
+    narrow_masks = jnp.stack(
+        [subt.narrow_zero_mask(a) for a in analyzer_states]
+    )
+    poors = jnp.stack(
+        [subt.poor_signal_excitation(a) for a in analyzer_states]
+    )
+
+    # ---- Phase B: the subtractor over all blocks.
+    transition0 = state.aec.transition_triggered  # frame-entry (accepted)
+    transitions = jnp.stack(
+        [transition0 if k == 0 else jnp.asarray(False) for k in range(nb)]
+    )
+    if kernel_mode:
+        from webrtc_audio_processing_tpu.models.aec3 import (
+            subtractor_kernel as sk,
+        )
+        chain_fft = rb._sf_fft(geo, sf_chain)  # (2W, C_ren, 65) complex
+        chain_spec_sum = jnp.sum(rb._sf_spectrum(geo, sf_chain), axis=1)
+        sub_state, sub_outs = sk.process_pair_kernel(
+            config, state.subtractor, chain_fft, chain_spec_sum,
+            jnp.stack(sf_offs), jnp.stack(y0s),
+            narrow_masks, poors,
+            jnp.stack(delay_changes), jnp.stack(gain_changes), transitions,
+            capture_signal_saturation,
+        )
+    else:
+        sub_state, sub_outs = subt.process_pair(
+            config, state.subtractor,
+            jnp.stack(X_windows),
+            jnp.stack([w[:p_ref_max] for w in spec_wins]),
+            jnp.stack(y0s),
+            narrow_masks, poors,
+            jnp.stack(delay_changes), jnp.stack(gain_changes), transitions,
+            capture_signal_saturation,
+        )
+
+    # ---- Phase C: per-block aec state / CNG / residual / suppression.
+    aec = state.aec.replace(
+        capture_signal_saturation=capture_signal_saturation
+    )
+    cng_state = state.cng
+    residual_state = state.residual
+    supp_gain_state = state.supp_gain
+    supp_filter_state = state.supp_filter
+    e_old, y_old = state.e_old, state.y_old
+    use_refined = state.refined_last_selected
+    outs, linears = [], []
+    for k in range(nb):
+        y0 = y0s[k]
+        sub_out = sub_outs[k]
+        x_block = blocks_win_k[k][0]
+
+        aec = aecs.handle_echo_path_change(
+            config, aec, delay_changes[k], gain_changes[k]
+        )
+        supp_gain_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(delay_changes[k], a, b),
+            set_initial_state(config, supp_gain_state, jnp.asarray(True)),
+            supp_gain_state,
+        )
+        transition = aec.transition_triggered if k > 0 else transition0
+        supp_gain_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(transition, a, b),
+            set_initial_state(config, supp_gain_state, jnp.asarray(False)),
+            supp_gain_state,
+        )
+
+        e, use_refined = _form_linear_filter_output(
+            config, use_refined, sub_out
+        )
+        YE = afft.padded_fft(
+            jnp.stack([y0, e]), jnp.stack([y_old, e_old]), "sqrt_hanning",
+        )
+        Y, E = YE[0], YE[1]
+        S2_linear = afft.spectrum(Y - E)
+        Y2 = afft.spectrum(Y)
+        E2 = afft.spectrum(E)
+
+        aec = aecs.update(
+            config, aec, geo, views[k], external_delays[k],
+            external_delay_valids[k],
+            sub_out["refined_frequency_responses"],
+            sub_out["refined_impulse_responses"],
+            sub_out["refined_current_size"],
+            E2, Y2, sub_out,
+            spec_win=spec_wins[k], blocks_win=blocks_win_k[k],
+        )
+
+        nearend_spectrum = jnp.where(aec.usable_linear_estimate, E2, Y2)
+        Y_fft = jnp.where(aec.usable_linear_estimate, E, Y)
+
+        cng_state, N_low, N_high, N2 = comfort_noise_compute(
+            config, cng_state, aec.capture_signal_saturation, nearend_spectrum
+        )
+
+        transparent = aecs.transparent_mode_active(config, aec)
+        residual_state, R2, R2_unbounded = residual_echo_estimate(
+            config, residual_state, geo, views[k], aec, S2_linear, Y2,
+            supp_gain_state.dn_nearend_state, transparent,
+            sub_out["refined_current_size"],
+            spec_win=spec_wins[k],
+        )
+        if nree is not None:
+            R2, R2_unbounded = nree.estimate(
+                jnp.swapaxes(x_block[0], 0, 1), y0, e, S2_linear, Y2, E2,
+                supp_gain_state.dn_nearend_state,
+            )
+
+        E2_bounded = jnp.minimum(E2, Y2)
+        nearend_for_gain = jnp.where(
+            aec.usable_linear_estimate, E2_bounded, Y2
+        )
+        echo_spectrum = jnp.where(aec.usable_linear_estimate, S2_linear, R2)
+        clock_drift = config.echo_removal_control.has_clock_drift
+
+        supp_gain_state, G, high_gain = suppression_gain_compute(
+            config, supp_gain_state, nearend_for_gain, echo_spectrum, R2,
+            R2_unbounded, N2, analyzer_states[k].narrow_peak_band,
+            aec.saturated_echo, x_block, clock_drift,
+        )
+        supp_filter_state, out = suppression_filter_apply(
+            supp_filter_state, N_low, N_high, G, high_gain, Y_fft,
+            capture_blocks[k],
+        )
+
+        if taps is not None and k == nb - 1:
+            taps.update({
+                "aec3_Y2": Y2,
+                "aec3_E2": E2,
+                "aec3_S2_linear": S2_linear,
+                "aec3_R2": R2,
+                "aec3_N2": N2,
+                "aec3_suppressor_gain": G,
+                "aec3_output": jnp.swapaxes(out[0], 0, 1),
+                "aec3_linear_aec_output": e,
+                "aec3_usable_linear_estimate": aec.usable_linear_estimate,
+                "aec3_filter_delay": aec.min_filter_delay,
+            })
+
+        e_old, y_old = e, y0
+        outs.append(out)
+        linears.append(e)
+
+    new_state = EchoRemoverState(
+        subtractor=sub_state,
+        analyzer=analyzer,
+        aec=aec,
+        cng=cng_state,
+        residual=residual_state,
+        supp_gain=supp_gain_state,
+        supp_filter=supp_filter_state,
+        e_old=e_old,
+        y_old=y_old,
+        gain_change_hangover=hangover,
+        refined_last_selected=use_refined,
+    )
+    return new_state, outs, linears

@@ -129,7 +129,9 @@ class BufferGeometry:
             + max(config.echo_model.render_post_window_size, 1) + 1,
             num_blocks,
         )
-        max_w = max(spec_win_len, min(delay_bound, num_blocks),
+        # +2: the pair path reads per-frame chains of width
+        # spec_win_len + (nblocks_per_frame - 1), nblocks <= 3.
+        max_w = max(spec_win_len + 2, min(delay_bound, num_blocks) + 2,
                     p_ref_max, p_coarse_max, 13)
         # The span-gather DMA loads 8-row-aligned wide windows
         # (pallas_span.aligned_rows); size the mirror so the widest
@@ -1034,6 +1036,29 @@ def window_row(win, offset):
     else:
         out = dot(oh, flat.astype(oh_dtype)).astype(win.dtype)
     return out.reshape(offset.shape + win.shape[1:])
+
+
+def window_slice(win, start, W: int):
+    """Rows [start, start+W) of a materialized window (chain), with `start`
+    a per-stream traced scalar in [0, win.shape[0] - W].
+
+    The pair-megakernel path reads every per-block window from two wide
+    per-pair chains; a dynamic_slice with a per-stream start would
+    serialize under vmap, so this is a (W, W_chain) one-hot contraction
+    (bit-exact selection — per-operand precision as window_row)."""
+    Wc = win.shape[0]
+    oh = (
+        (jnp.expand_dims(start, -1) + jnp.arange(W))[..., :, None]
+        == jnp.arange(Wc)
+    ).astype(jnp.float32)  # (..., W, Wc)
+    flat = win.reshape(Wc, -1)
+    prec = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+    dot = lambda a, b: jnp.matmul(a, b, precision=prec)  # noqa: E731
+    if jnp.iscomplexobj(win):
+        out = (dot(oh, flat.real) + 1j * dot(oh, flat.imag)).astype(win.dtype)
+    else:
+        out = dot(oh, flat.astype(jnp.float32)).astype(win.dtype)
+    return out.reshape(oh.shape[:-1] + win.shape[1:])
 
 
 def block_at(geo: BufferGeometry, view: RenderView, offset: int = 0):

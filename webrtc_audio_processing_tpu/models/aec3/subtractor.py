@@ -127,11 +127,9 @@ def poor_signal_excitation(state: RenderSignalAnalyzerState):
     return jnp.any(state.narrow_band_counters > 10)
 
 
-def mask_narrow_bands(state: RenderSignalAnalyzerState, v):
-    """MaskRegionsAroundNarrowBands (render_signal_analyzer.cc:134-151).
-
-    v: (..., 65). Zeroes +-2 bins around narrow bands.
-    """
+def narrow_zero_mask(state: RenderSignalAnalyzerState):
+    """The (65,) bool mask MaskRegionsAroundNarrowBands zeroes
+    (render_signal_analyzer.cc:134-151): +-2 bins around narrow bands."""
     trig = state.narrow_band_counters > 5  # (63,) for bins 1..63
     # zero[b] = OR_{off=-2..2} trig[b-1+off] (trig index i <-> bin i+1),
     # i.e. a +-2 dilation of the interior trigger mask — five shifted
@@ -143,8 +141,15 @@ def mask_narrow_bands(state: RenderSignalAnalyzerState, v):
     zero = (padded[0:65] | padded[1:66] | padded[2:67]
             | padded[3:68] | padded[4:69])
     bins = jnp.arange(NUM_BINS)
-    zero = zero | ((bins < 2) & trig[0]) | ((bins >= 63) & trig[62])
-    return jnp.where(zero, 0.0, v)
+    return zero | ((bins < 2) & trig[0]) | ((bins >= 63) & trig[62])
+
+
+def mask_narrow_bands(state: RenderSignalAnalyzerState, v):
+    """MaskRegionsAroundNarrowBands (render_signal_analyzer.cc:134-151).
+
+    v: (..., 65). Zeroes +-2 bins around narrow bands.
+    """
+    return jnp.where(narrow_zero_mask(state), 0.0, v)
 
 
 # ----------------------------------------------------------- adaptive filter
@@ -488,7 +493,8 @@ def init_coarse_gain(config: EchoCanceller3Config):
 def refined_gain_compute(
     config: EchoCanceller3Config,
     state: RefinedGainState,
-    analyzer: RenderSignalAnalyzerState,
+    narrow_mask,  # (65,) bool — narrow_zero_mask(analyzer)
+    poor_excitation,  # () bool — poor_signal_excitation(analyzer)
     X2,  # (65,)
     E_refined,  # (C, 65) complex
     E2_refined,  # (C, 65)
@@ -500,7 +506,9 @@ def refined_gain_compute(
 ):
     """RefinedFilterUpdateGain::Compute (refined_filter_update_gain.cc:80-150).
 
-    Returns (state, G (C, 65) complex).
+    Returns (state, G (C, 65) complex). The analyzer inputs come
+    precomputed (narrow_zero_mask / poor_signal_excitation) so the pair
+    phase can hoist the analyzer out of the subtractor loop.
     """
     cc = _update_gain_config(state.config,
                              config.filter.config_change_duration_blocks)
@@ -510,7 +518,7 @@ def refined_gain_compute(
     )
     call_counter = state.call_counter + 1
     poor = jnp.where(
-        poor_signal_excitation(analyzer), 0, state.poor_excitation_counter
+        poor_excitation, 0, state.poor_excitation_counter
     ) + 1
 
     no_update = (
@@ -526,7 +534,7 @@ def refined_gain_compute(
         / (0.5 * state.H_error * X2[None, :] + sizef * E2_refined),
         0.0,
     )
-    mu = mask_narrow_bands(analyzer, mu)
+    mu = jnp.where(narrow_mask, 0.0, mu)
     mu = jnp.where(no_update, 0.0, mu)
 
     H_error = state.H_error - 0.5 * mu * X2[None, :] * state.H_error
@@ -551,7 +559,8 @@ def refined_gain_compute(
 def coarse_gain_compute(
     config: EchoCanceller3Config,
     state: CoarseGainState,
-    analyzer: RenderSignalAnalyzerState,
+    narrow_mask,  # (65,) bool
+    poor_excitation,  # () bool
     X2,  # (65,)
     E_coarse,  # (C, 65) complex
     size_partitions,
@@ -563,7 +572,7 @@ def coarse_gain_compute(
     rate, noise_gate = cc.current[0], cc.current[1]
     call_counter = state.call_counter + 1
     poor = jnp.where(
-        poor_signal_excitation(analyzer), 0, state.poor_excitation_counter
+        poor_excitation, 0, state.poor_excitation_counter
     ) + 1
     no_update = (
         (poor < size_partitions)
@@ -571,7 +580,7 @@ def coarse_gain_compute(
         | (call_counter <= size_partitions)
     )
     mu = jnp.where(X2 > noise_gate, rate / jnp.maximum(X2, 1e-30), 0.0)
-    mu = mask_narrow_bands(analyzer, mu)
+    mu = jnp.where(narrow_mask, 0.0, mu)
     G = (mu[None, :] * E_coarse).astype(jnp.complex64)
     G = jnp.where(no_update, 0.0 + 0.0j, G)
     return (
@@ -729,6 +738,26 @@ def process(
 
     Returns (state, outputs dict).
     """
+    return process_masked(
+        config, state, X_window_refined, X2_refined, X2_coarse, y,
+        narrow_zero_mask(analyzer), poor_signal_excitation(analyzer),
+        saturated_capture,
+    )
+
+
+def process_masked(
+    config: EchoCanceller3Config,
+    state: SubtractorState,
+    X_window_refined,  # (P_ref_max, C_ren, 65) complex fft window
+    X2_refined,  # (65,) spectral sum over refined partitions
+    X2_coarse,  # (65,)
+    y,  # (C_cap, 64) capture band 0
+    narrow_mask,  # (65,) bool — narrow_zero_mask(analyzer)
+    poor_excitation,  # () bool — poor_signal_excitation(analyzer)
+    saturated_capture,  # () bool
+):
+    """Subtractor::Process with the analyzer inputs precomputed (the form
+    the pair phase / megakernel consume)."""
     # Filter outputs.
     S_refined = apply_filter(state.refined, X_window_refined)
     e_refined, s_refined = _prediction_error(S_refined, y)
@@ -801,7 +830,7 @@ def process(
     )
     erl = compute_erl(state.refined_frequency_responses)
     new_rg, G_refined = refined_gain_compute(
-        config, state.refined_gain, analyzer, X2_refined,
+        config, state.refined_gain, narrow_mask, poor_excitation, X2_refined,
         E_refined, E2_refined, E2_coarse, erl,
         state.refined.current_size, saturated_capture, disallow,
     )
@@ -838,8 +867,8 @@ def process(
     )
     E_for_coarse = jnp.where(reset_coarse[:, None], E_refined, E_coarse)
     new_cg, G_coarse = coarse_gain_compute(
-        config, state.coarse_gain, analyzer, X2_coarse, E_for_coarse,
-        coarse.current_size, saturated_capture,
+        config, state.coarse_gain, narrow_mask, poor_excitation, X2_coarse,
+        E_for_coarse, coarse.current_size, saturated_capture,
     )
     coarse, _ = adapt_and_constrain_filter(
         coarse, X_window_refined[:p_c], G_coarse
@@ -867,3 +896,67 @@ def process(
         s_coarse_max_abs=s_coarse_max_abs,
     )
     return state, outputs
+
+
+def process_pair(
+    config: EchoCanceller3Config,
+    state: SubtractorState,
+    X_windows,  # (nb, P_ref_max, C_ren, 65) complex — per-block fft windows
+    spec_wins,  # (nb, P_ref_max, C_ren, 65) — per-block spectra window rows
+    ys,  # (nb, C_cap, 64)
+    narrow_masks,  # (nb, 65) bool
+    poor_excitations,  # (nb,) bool
+    delay_changes,  # (nb,) bool
+    gain_changes,  # (nb,) bool
+    transitions,  # (nb,) bool — exit_initial_state before the block
+    saturated_capture,  # () bool
+):
+    """All subtractor work of one frame pair's 2-3 capture blocks, given
+    pre-hoisted per-block inputs (the delay stack and render-signal
+    analyzer run ahead of the block loop; docs/design/
+    subtractor_megakernel.md). The X2 spectral sums are formed HERE from
+    `spec_sums` because the partition counts evolve across the blocks
+    (AdaptiveFirFilter::UpdateSize per block).
+
+    This is the unit the Pallas pair-megakernel replaces; this XLA form
+    is its semantic reference. Returns (state, [outputs dict per block]).
+    """
+    nb = len(ys)
+    p_max = state.refined.H.shape[1]
+    pidx = jnp.arange(p_max)
+    outs = []
+    for k in range(nb):
+        # Reference per-block order (echo_remover.cc:317-348):
+        # HandleEchoPathChange first, then the initial-state transition.
+        state = handle_echo_path_change(
+            config, state, delay_changes[k], gain_changes[k]
+        )
+        state = jax.tree_util.tree_map(
+            lambda a, b: a if a is b else jnp.where(transitions[k], a, b),
+            exit_initial_state(config, state), state,
+        )
+        # Same masked (p, c) reduction as echo_remover's inline form so the
+        # float summation order (and therefore the bits) match the
+        # single-block path exactly.
+        X2_refined = jnp.sum(
+            jnp.where((pidx < state.refined.current_size)[:, None, None],
+                      spec_wins[k], 0.0),
+            axis=(0, 1),
+        )
+        X2_coarse = jnp.sum(
+            jnp.where((pidx < state.coarse.current_size)[:, None, None],
+                      spec_wins[k], 0.0),
+            axis=(0, 1),
+        )
+        state, out = process_masked(
+            config, state, X_windows[k], X2_refined, X2_coarse, ys[k],
+            narrow_masks[k], poor_excitations[k], saturated_capture,
+        )
+        # Per-block snapshots of the filter-analysis state the downstream
+        # aec-state update consumes (it runs AFTER the whole pair in the
+        # phase-split flow but must see block k's post-adapt values).
+        out["refined_frequency_responses"] = state.refined_frequency_responses
+        out["refined_impulse_responses"] = state.refined_impulse_responses
+        out["refined_current_size"] = state.refined.current_size
+        outs.append(out)
+    return state, outs
