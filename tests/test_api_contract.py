@@ -11,6 +11,7 @@ from webrtc_audio_processing_tpu.api import (
     RuntimeSetting,
     frame_size,
     kBadDataLengthError,
+    kBadNumberChannelsError,
     kBadSampleRateError,
     kBadStreamParameterWarning,
     kNoError,
@@ -243,3 +244,57 @@ def test_analog_level_survives_lazy_initialization():
     err, _ = apm.process_stream(frame, 8000)  # 8 kHz: not the default geo
     assert err == 0
     assert apm.recommended_stream_analog_level() == 127
+
+
+class TestApiMisuseGrid:
+    """The reference contract suite's misuse permutations
+    (audio_processing_unittest.cc:758-1339) that apply to this API."""
+
+    def test_zero_channels_rejected(self):
+        ap = AudioProcessing(cfg_mod.Config())
+        err, _ = ap.process_stream(np.zeros((160, 0), np.float32), 16000)
+        assert err == kBadNumberChannelsError
+        err, _ = ap.process_reverse_stream(np.zeros((160, 0), np.float32),
+                                           16000)
+        assert err == kBadNumberChannelsError
+
+    @pytest.mark.parametrize("rate", [8000, 12000, 16000, 32000, 44100,
+                                      48000, 96000])
+    def test_float_rate_sweep(self, rate):
+        """SampleRatesInt: every 100-divisible rate is accepted on the
+        float interface (audio_processing_unittest.cc:853-860)."""
+        ap = AudioProcessing(cfg_mod.Config().replace(
+            noise_suppression=cfg_mod.NoiseSuppression(enabled=True)))
+        F = rate // 100
+        x = RNG.normal(size=(F, 2)).astype(np.float32) * 0.1
+        err, out = ap.process_stream(x, rate)
+        assert err == kNoError
+        assert out.shape == (F, 2)
+        assert np.all(np.isfinite(out))
+
+    def test_all_processing_disabled_passthrough_int16(self):
+        """NoProcessingWhenAllComponentsDisabledInt
+        (audio_processing_unittest.cc:1271-1303): bit-exact passthrough."""
+        ap = AudioProcessing(cfg_mod.Config())
+        x = (RNG.normal(size=(160, 2)) * 8000).astype(np.int16)
+        for _ in range(3):
+            err, out = ap.process_stream_int16(x, 16000)
+            assert err == kNoError
+            np.testing.assert_array_equal(out, x)
+
+    def test_mismatched_forward_channels(self):
+        """Output channel count must be 1 or match the input
+        (TestChangingForwardChannels expectations)."""
+        ap = AudioProcessing(cfg_mod.Config())
+        for n in (1, 2, 3, 4):
+            x = RNG.normal(size=(160, n)).astype(np.float32) * 0.1
+            err, out = ap.process_stream(x, 16000)
+            assert err == kNoError
+            assert out.shape[1] == n
+
+    def test_stream_delay_warning_codes(self):
+        ap = AudioProcessing(cfg_mod.Config())
+        assert ap.set_stream_delay_ms(-1) == kBadStreamParameterWarning
+        assert ap.set_stream_delay_ms(501) == kBadStreamParameterWarning
+        assert ap.stream_delay_ms() == 500
+        assert ap.set_stream_delay_ms(250) == kNoError

@@ -211,3 +211,49 @@ def test_runtime_setting_fixed_post_gain():
         _, out2 = ap.process_stream(x, 16000)
     r = np.abs(out2).max() / max(np.abs(out1).max(), 1e-9)
     assert r > 5.0, r  # +20 dB fixed digital = 10x
+
+
+def test_input_volume_stats_reporter_cadence():
+    """agc2/input_volume_stats_reporter.cc: OnChange logged per change;
+    the six rate/average histograms logged once per 6000 frames with the
+    reference's names, rounding and reset semantics."""
+    from webrtc_audio_processing_tpu.utils import metrics as m
+
+    m.disable_and_clear()
+    m.enable()
+    r = m.InputVolumeStatsReporter("Applied")
+    # 3 increases of +10, 2 decreases of -5 inside the first 60 s window.
+    vols = [100, 110, 120, 115, 110, 120] + [120] * (6000 - 6)
+    for v in vols:
+        r.update_statistics(v)
+    out = m.get_and_reset()
+    p = "WebRTC.Audio.Apm.AppliedInputVolume."
+    assert len(out[p + "OnChange"]) == 5
+    assert out[p + "IncreaseRate"] == [3]
+    assert out[p + "DecreaseRate"] == [2]
+    assert out[p + "UpdateRate"] == [5]
+    assert out[p + "IncreaseAverage"] == [10]  # (10+10+10)/3
+    assert out[p + "DecreaseAverage"] == [5]
+    assert out[p + "UpdateAverage"] == [8]  # round(40/5)
+    # Second window: no changes -> rates log 0, averages skipped.
+    for _ in range(6000):
+        r.update_statistics(120)
+    out = m.get_and_reset()
+    # A zero rate lands in the registry's underflow clamp (min=1), like
+    # the reference histogram's underflow bucket.
+    assert out[p + "UpdateRate"] == [1]
+    assert (p + "UpdateAverage") not in out
+    m.disable_and_clear()
+
+
+def test_recommended_volume_match_target_histogram():
+    from webrtc_audio_processing_tpu.utils import metrics as m
+
+    m.disable_and_clear()
+    m.enable()
+    m.update_histogram_on_recommended_input_volume_change_to_match_target(90)
+    out = m.get_and_reset()
+    assert out[
+        "WebRTC.Audio.Apm.RecommendedInputVolume.OnChangeToMatchTarget"
+    ] == [90]
+    m.disable_and_clear()

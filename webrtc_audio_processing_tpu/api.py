@@ -154,6 +154,12 @@ class AudioProcessing:
         self._block_metrics = _metrics.BlockProcessorMetrics()
         self._delay_metrics = _metrics.RenderDelayControllerMetrics()
         self._remover_metrics = _metrics.EchoRemoverMetrics()
+        # Input-volume histograms (agc2/input_volume_stats_reporter.cc,
+        # wired like audio_processing_impl.cc:1313-1316 and :1518-1524).
+        self._applied_volume_stats = _metrics.InputVolumeStatsReporter(
+            "Applied")
+        self._recommended_volume_stats = _metrics.InputVolumeStatsReporter(
+            "Recommended")
 
     # ---------------------------------------------------------- aec dump
 
@@ -334,6 +340,8 @@ class AudioProcessing:
         render = np.asarray(render, np.float32)
         if render.ndim == 1:
             render = render[:, None]
+        if render.shape[1] == 0:
+            return kBadNumberChannelsError, render
         if self._aec_dump is not None:
             self._aec_dump.on_reverse_stream(render)
         if len(self._render_queue) >= RENDER_QUEUE_SIZE_FRAMES:
@@ -378,6 +386,10 @@ class AudioProcessing:
         capture = np.asarray(capture, np.float32)
         if capture.ndim == 1:
             capture = capture[:, None]
+        if capture.shape[1] == 0:
+            # HandleUnsupportedAudioFormats (audio_processing_impl.cc:
+            # 248-347): a zero channel count is rejected.
+            return kBadNumberChannelsError, capture
         expected = frame_size(sample_rate_hz)
         if capture.shape[0] != expected:
             return kBadDataLengthError, capture
@@ -451,6 +463,14 @@ class AudioProcessing:
             )
         self._frame_index += 1
         self._last_stats = stats
+        # Input-volume histograms: the applied volume when one was set
+        # for this frame (audio_processing_impl.cc:1313-1316), the
+        # recommended volume after the pipeline ran (:1518-1524).
+        if getattr(self, "_analog_level", None) is not None:
+            self._applied_volume_stats.update_statistics(self._analog_level)
+            self._recommended_volume_stats.update_statistics(
+                self.recommended_stream_analog_level()
+            )
         # Stereo-content flip (echo_canceller3.cc:977-1005): rebuild the
         # AEC3 with the config/channel-count ConfigSelector now chooses.
         if (self._geo.aec3_dynamic_stereo

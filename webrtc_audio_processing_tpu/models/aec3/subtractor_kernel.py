@@ -172,6 +172,21 @@ def _make_core(key, interpret: bool, sb: int):
         eff_sb = sb
         while B % eff_sb:
             eff_sb //= 2
+        # Never build a 1-stream-tile kernel: Mosaic cannot lower the
+        # (1,)-vector -> 4D broadcasts it needs ("Broadcast in both
+        # sublanes and lanes"), and on the axon attachment that compile
+        # failure surfaces as a runtime UNIMPLEMENTED. Pad tiny batches
+        # up to one full tile instead.
+        if B < sb or eff_sb < sb:
+            pad = -B % sb
+            args_p = tuple(
+                jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+                ) if pad else a
+                for a in args
+            )
+            out = run(args_p[:9], args_p[9:12], args_p[12:], sb=sb)
+            return tuple(o[:B] for o in out)
         return tuple(run(state_arrays, chains, per_block, sb=eff_sb))
 
     @jax.custom_batching.custom_vmap

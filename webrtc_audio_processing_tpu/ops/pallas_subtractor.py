@@ -653,7 +653,6 @@ def make_pair_kernel(
         o_fscal[:] = jnp.stack([fs[i] for i in range(NF)], axis=-1)
         o_iscal[:] = jnp.stack([isv[i] for i in range(NI)], axis=-1)
 
-    @functools.partial(jax.jit, static_argnames=("sb",))
     def run(state_arrays, chains, per_block, sb=8):
         (Hr, Hi, Hcr, Hci, H_err, freq, imp, fs, isv) = state_arrays
         (Cr, Ci, Cs) = chains
@@ -718,6 +717,13 @@ def make_pair_kernel(
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=out_specs,
+            # The unrolled 2-3 block body carries many live VMEM
+            # temporaries; the default 16 MB scoped-vmem budget is too
+            # tight once the surrounding program's temporaries are
+            # accounted (same as ops/pallas_mf.py).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(Hr, Hi, Hcr, Hci, H_err, freq, imp, fs, isv,
           Cr, Ci, Cs, offs, y, nmask, flags, sat,

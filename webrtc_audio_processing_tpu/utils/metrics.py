@@ -358,3 +358,87 @@ class EchoRemoverMetrics:
             self.metrics_reported = True
             self._block_counter = 0
             self._reset()
+
+
+# ------------------------------------------- InputVolumeStatsReporter
+
+_FRAMES_IN_60_SECONDS = 6000
+_MAX_INPUT_VOLUME = 255
+
+
+class InputVolumeStatsReporter:
+    """agc2/input_volume_stats_reporter.{h,cc}: per-frame input-volume
+    change tracking with an on-change histogram plus six rate/average
+    histograms logged every 6000 frames (60 s). `kind` selects the
+    "Applied"/"Recommended" metric-name prefix exactly as
+    MetricNamePrefix does."""
+
+    def __init__(self, kind: str):
+        assert kind in ("Applied", "Recommended"), kind
+        self._prefix = f"WebRTC.Audio.Apm.{kind}InputVolume."
+        self._previous = None
+        self._counter = 0
+        self._num_decreases = 0
+        self._sum_decreases = 0
+        self._num_increases = 0
+        self._sum_increases = 0
+
+    def update_statistics(self, input_volume: int) -> None:
+        """UpdateStatistics (input_volume_stats_reporter.cc:105-134)."""
+        input_volume = int(input_volume)
+        if self._previous is not None and input_volume != self._previous:
+            histogram_counts_linear(self._prefix + "OnChange", input_volume,
+                                    1, _MAX_INPUT_VOLUME, 50)
+            change = input_volume - self._previous
+            if change < 0:
+                self._num_decreases += 1
+                self._sum_decreases -= change
+            else:
+                self._num_increases += 1
+                self._sum_increases += change
+        self._counter += 1
+        if self._counter >= _FRAMES_IN_60_SECONDS:
+            self._log_volume_update_stats()
+            self._num_decreases = self._sum_decreases = 0
+            self._num_increases = self._sum_increases = 0
+            self._counter = 0
+        self._previous = input_volume
+
+    def _log_volume_update_stats(self) -> None:
+        """LogVolumeUpdateStats (input_volume_stats_reporter.cc:136-165)."""
+
+        def avg(total, n):
+            return int(round(total / n)) if n else 0
+
+        histogram_counts_linear(self._prefix + "DecreaseRate",
+                                self._num_decreases, 1,
+                                _FRAMES_IN_60_SECONDS, 50)
+        if self._num_decreases:
+            histogram_counts_linear(
+                self._prefix + "DecreaseAverage",
+                avg(self._sum_decreases, self._num_decreases), 1,
+                _MAX_INPUT_VOLUME, 50)
+        histogram_counts_linear(self._prefix + "IncreaseRate",
+                                self._num_increases, 1,
+                                _FRAMES_IN_60_SECONDS, 50)
+        if self._num_increases:
+            histogram_counts_linear(
+                self._prefix + "IncreaseAverage",
+                avg(self._sum_increases, self._num_increases), 1,
+                _MAX_INPUT_VOLUME, 50)
+        num_updates = self._num_decreases + self._num_increases
+        histogram_counts_linear(self._prefix + "UpdateRate", num_updates, 1,
+                                _FRAMES_IN_60_SECONDS, 50)
+        if num_updates:
+            histogram_counts_linear(
+                self._prefix + "UpdateAverage",
+                avg(self._sum_decreases + self._sum_increases, num_updates),
+                1, _MAX_INPUT_VOLUME, 50)
+
+
+def update_histogram_on_recommended_input_volume_change_to_match_target(
+        volume: int) -> None:
+    """input_volume_stats_reporter.cc:167-172."""
+    histogram_counts_linear(
+        "WebRTC.Audio.Apm.RecommendedInputVolume.OnChangeToMatchTarget",
+        int(volume), 1, _MAX_INPUT_VOLUME, 50)
