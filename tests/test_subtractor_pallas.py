@@ -22,20 +22,20 @@ from webrtc_audio_processing_tpu.ops import mxu_fft
 RNG = np.random.default_rng(7)
 
 
-def _random_state(cfg, R):
-    st = subt.init_state(cfg, R, 1)
+def _random_state(cfg, R, C=1):
+    st = subt.init_state(cfg, R, C)
     P = st.refined.H.shape[1]
     Pc = st.coarse.H.shape[1]
-    H = (RNG.normal(size=(1, P, R, 65)) + 1j * RNG.normal(size=(1, P, R, 65))
+    H = (RNG.normal(size=(C, P, R, 65)) + 1j * RNG.normal(size=(C, P, R, 65))
          ).astype(np.complex64) * 0.1
-    Hc = (RNG.normal(size=(1, Pc, R, 65))
-          + 1j * RNG.normal(size=(1, Pc, R, 65))).astype(np.complex64) * 0.1
+    Hc = (RNG.normal(size=(C, Pc, R, 65))
+          + 1j * RNG.normal(size=(C, Pc, R, 65))).astype(np.complex64) * 0.1
     st = st.replace(
         refined=st.refined.replace(H=jnp.asarray(H)),
         coarse=st.coarse.replace(H=jnp.asarray(Hc)),
         refined_gain=st.refined_gain.replace(
             H_error=jnp.asarray(
-                RNG.uniform(10.0, 1000.0, size=(1, 65)).astype(np.float32)),
+                RNG.uniform(10.0, 1000.0, size=(C, 65)).astype(np.float32)),
             call_counter=jnp.asarray(40, jnp.int32),
             poor_excitation_counter=jnp.asarray(1200, jnp.int32),
         ),
@@ -44,26 +44,29 @@ def _random_state(cfg, R):
             poor_excitation_counter=jnp.asarray(1200, jnp.int32),
         ),
         refined_frequency_responses=jnp.asarray(
-            RNG.uniform(0, 1, size=(1, P, 65)).astype(np.float32)),
+            RNG.uniform(0, 1, size=(C, P, 65)).astype(np.float32)),
         refined_impulse_responses=jnp.asarray(
-            RNG.normal(size=(1, P * 64)).astype(np.float32) * 0.01),
+            RNG.normal(size=(C, P * 64)).astype(np.float32) * 0.01),
     )
     return st
 
 
-@pytest.mark.parametrize("nb,R,events", [
-    (2, 1, False),
-    (3, 2, False),
-    (3, 2, True),
+@pytest.mark.parametrize("nb,C,R,events", [
+    (2, 1, 1, False),
+    (3, 1, 2, False),
+    (3, 1, 2, True),
+    (3, 2, 2, False),   # the 48 kHz stereo headline geometry
+    (3, 2, 2, True),
+    (2, 2, 1, True),
 ])
-def test_kernel_matches_xla_pair(nb, R, events):
+def test_kernel_matches_xla_pair(nb, C, R, events):
     cfg = EchoCanceller3Config()
     # Force the matmul-DFT backend in the XLA path so both sides use the
     # same transform realization bit-for-bit-comparable numerics.
     old = mxu_fft.default_backend
     mxu_fft.default_backend = lambda: "tpu"  # select the matmul-DFT
     try:
-        st = _random_state(cfg, R)
+        st = _random_state(cfg, R, C)
         P = st.refined.H.shape[1]
         W2 = 2 * (P + nb - 1)
         chain = (RNG.normal(size=(W2, R, 65))
@@ -72,7 +75,7 @@ def test_kernel_matches_xla_pair(nb, R, events):
         chain_spec = (np.abs(chain.real) ** 2 + np.abs(chain.imag) ** 2
                       ).astype(np.float32)
         offs = np.array([nb - 1 - k for k in range(nb)], np.int32)
-        ys = RNG.normal(size=(nb, 1, 64)).astype(np.float32) * 1000.0
+        ys = RNG.normal(size=(nb, C, 64)).astype(np.float32) * 1000.0
         masks = np.zeros((nb, 65), bool)
         poors = np.zeros((nb,), bool)
         dchanges = np.zeros((nb,), bool)
@@ -144,3 +147,60 @@ def test_kernel_matches_xla_pair(nb, R, events):
         np.testing.assert_array_equal(
             np.asarray(ref_outs[k]["refined_current_size"]),
             np.asarray(k_outs[k]["refined_current_size"]))
+
+
+@pytest.mark.slow
+def test_apm_level_kernel_matches_xla_16k_stereo():
+    """APM-level gate: the full AEC3 frame pipeline with the megakernel
+    (interpret mode, via AEC3_PAIR_KERNEL_INTERPRET=1) matches the XLA
+    pair path over several frames at the stereo-capture geometry the
+    48 kHz headline uses (C_cap=2, C_ren=2)."""
+    import os
+
+    from webrtc_audio_processing_tpu.models.aec3 import (
+        config as aec3_config,
+        echo_canceller3 as ec3,
+    )
+
+    rng = np.random.default_rng(11)
+    cfg = aec3_config.EchoCanceller3Config()
+    geo = ec3.Aec3Geometry.create(cfg, 16000, 2, 2, pair_kernel=True)
+
+    frames = []
+    for _ in range(6):
+        frames.append((
+            rng.standard_normal((1, 160, 2)).astype(np.float32) * 800.0,
+            rng.standard_normal((1, 160, 2)).astype(np.float32) * 500.0,
+        ))
+
+    def run(kernel: bool):
+        os.environ["AEC3_PAIR_KERNEL_INTERPRET"] = "1" if kernel else "0"
+        try:
+            # Fresh closure per mode: the env var is read at trace time,
+            # so the two modes must not share a jit cache entry.
+            def step(state, r, c, parity, n0):
+                return ec3.process_frame(geo, state, r, c, parity, n0=n0)
+
+            jstep0 = jax.jit(lambda s, r, c, n0: step(s, r, c, 0, n0))
+            jstep1 = jax.jit(lambda s, r, c, n0: step(s, r, c, 1, n0))
+            state = ec3.init_state(geo)
+            outs = []
+            n0 = 0
+            for i, (r, c) in enumerate(frames):
+                j = jstep0 if i % 2 == 0 else jstep1
+                state, out, _lin = j(state, jnp.asarray(r), jnp.asarray(c),
+                                     jnp.asarray(n0, jnp.int32))
+                n0 += 2 if i % 2 == 0 else 3
+                outs.append(np.asarray(out))
+            return outs, state
+        finally:
+            os.environ["AEC3_PAIR_KERNEL_INTERPRET"] = "0"
+
+    outs_x, state_x = run(False)
+    outs_k, state_k = run(True)
+    for i, (a, b) in enumerate(zip(outs_x, outs_k)):
+        denom = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / denom < 2e-3, (i, np.abs(a - b).max())
+    Hx = np.asarray(state_x.remover.subtractor.refined.H)
+    Hk = np.asarray(state_k.remover.subtractor.refined.H)
+    assert (np.abs(Hx - Hk).max() / max(np.abs(Hx).max(), 1e-3)) < 2e-3

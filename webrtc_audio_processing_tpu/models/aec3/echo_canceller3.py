@@ -56,8 +56,9 @@ class Aec3Geometry:
     # documented <=2-block stalenesses vs the strictly-interleaved path
     # (analyzer min_filter_delay, subtractor initial-state transition).
     pair_phase: bool = True
-    # Pallas subtractor pair-megakernel for phase B (TPU only, C_cap == 1;
-    # ops/pallas_subtractor.py). The XLA pair path is its tested fallback.
+    # Pallas subtractor pair-megakernel for phase B (TPU only, any
+    # geometry; ops/pallas_subtractor.py). The XLA pair path is its
+    # tested fallback.
     pair_kernel: bool = True
 
     @staticmethod
@@ -399,13 +400,23 @@ def process_frame(
         taps = {} if geo.debug_taps else None
         # The Pallas megakernel runs on real TPU only; elsewhere (CPU
         # tests/conformance) the XLA pair path is the same semantics.
-        use_kernel = geo.pair_kernel and jax.default_backend() == "tpu"
+        # AEC3_PAIR_KERNEL_INTERPRET=1 forces the kernel in Pallas
+        # interpret mode on CPU (APM-level kernel-vs-XLA equivalence
+        # tests; tests/test_subtractor_pallas.py).
+        import os as _os
+        kernel_interpret = (
+            _os.environ.get("AEC3_PAIR_KERNEL_INTERPRET", "0") == "1"
+        )
+        use_kernel = geo.pair_kernel and (
+            jax.default_backend() == "tpu" or kernel_interpret
+        )
         remover, outs, linears = er.process_capture_pair(
             cfg, state.remover, geo.buffer, views, list(c_blocks),
             dchanges, jnp.asarray(level_change),
             state.saturated_microphone, edelays, evalids,
             nree=geo.nree, taps=taps,
             use_subtractor_kernel=use_kernel,
+            subtractor_kernel_interpret=kernel_interpret,
         )
         state = state.replace(remover=remover)
         out_blocks = list(outs)

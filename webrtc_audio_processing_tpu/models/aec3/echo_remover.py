@@ -949,7 +949,9 @@ def process_capture_pair(
     nree=None,
     taps=None,
     use_subtractor_kernel: bool = False,  # Pallas pair-megakernel for
-    #   phase B (C_cap == 1 only; ops/pallas_subtractor.py)
+    #   phase B (any geometry; ops/pallas_subtractor.py)
+    subtractor_kernel_interpret: bool = False,  # Pallas interpret mode
+    #   (CPU equivalence testing)
 ):
     """EchoRemoverImpl::ProcessCapture for ALL capture blocks of one frame,
     restructured into three phases (docs/design/subtractor_megakernel.md):
@@ -1037,8 +1039,7 @@ def process_capture_pair(
         )
 
     spec_wins = [rb._sf_spectrum(geo, r) for r in sf_rows_k]
-    kernel_mode = (use_subtractor_kernel
-                   and capture_blocks[0].shape[-1] == 1)
+    kernel_mode = use_subtractor_kernel
     X_windows = (None if kernel_mode
                  else [rb._sf_fft(geo, r[:p_ref_max]) for r in sf_rows_k])
 
@@ -1085,6 +1086,7 @@ def process_capture_pair(
             narrow_masks, poors,
             jnp.stack(delay_changes), jnp.stack(gain_changes), transitions,
             capture_signal_saturation,
+            interpret=subtractor_kernel_interpret,
         )
     else:
         sub_state, sub_outs = subt.process_pair(

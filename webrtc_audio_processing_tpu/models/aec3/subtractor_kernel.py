@@ -6,9 +6,10 @@ therefore vmap-transparent; the kernel itself is reached through
 jax.custom_batching.custom_vmap exactly like ops/pallas_mf — the AEC3
 modules trace per-stream and the serving vmap supplies the batch).
 
-Scope: C_cap == 1 (see ops/pallas_subtractor). The XLA
-subtractor.process_pair is both the semantic reference (equivalence test:
-tests/test_subtractor_pallas.py) and the fallback for other geometries.
+Scope: any C_cap / C_ren (the reference's per-capture-channel subtractor
+iterations are independent, aec3/subtractor.cc:196-321, and are unrolled
+in-kernel). The XLA subtractor.process_pair is both the semantic reference
+(equivalence test: tests/test_subtractor_pallas.py) and the fallback.
 """
 
 from __future__ import annotations
@@ -27,13 +28,25 @@ BLOCK = 64
 
 
 def supported(config: EchoCanceller3Config, num_capture: int) -> bool:
-    return num_capture == 1
+    del config, num_capture
+    return True
 
 
 def pack_state(state: subt.SubtractorState):
-    """SubtractorState (C_cap == 1) -> kernel arrays (unbatched)."""
-    H = state.refined.H[0]  # (P, R, 65) complex
-    Hc = state.coarse.H[0]
+    """SubtractorState -> kernel arrays (unbatched): per capture channel
+    (Hr, Hi, Hcr, Hci, H_error, freq, imp) then shared (fs, iv)."""
+    C = state.refined.H.shape[0]
+    lay = pk.ScalarLayout(C)
+    arrays = []
+    for c in range(C):
+        H = state.refined.H[c]  # (P, R, 65) complex
+        Hc = state.coarse.H[c]
+        arrays += [
+            H.real, H.imag, Hc.real, Hc.imag,
+            state.refined_gain.H_error[c],
+            state.refined_frequency_responses[c],
+            state.refined_impulse_responses[c].reshape(-1, BLOCK),
+        ]
     fs = jnp.concatenate([
         state.refined_gain.config.current,
         state.refined_gain.config.target,
@@ -41,38 +54,45 @@ def pack_state(state: subt.SubtractorState):
         state.coarse_gain.config.current,
         state.coarse_gain.config.target,
         state.coarse_gain.config.old_target,
-        jnp.stack([state.mis_e2_acum[0], state.mis_y2_acum[0],
-                   state.mis_inv[0]]),
+        state.mis_e2_acum, state.mis_y2_acum, state.mis_inv,
     ]).astype(jnp.float32)
-    iv = jnp.stack([
-        state.refined.current_size, state.refined.target_size,
-        state.refined.old_target_size, state.refined.size_change_counter,
-        state.refined.partition_to_constrain,
-        state.coarse.current_size, state.coarse.target_size,
-        state.coarse.old_target_size, state.coarse.size_change_counter,
-        state.coarse.partition_to_constrain,
-        state.refined_gain.config.counter, state.coarse_gain.config.counter,
-        state.refined_gain.poor_excitation_counter,
-        state.refined_gain.call_counter,
-        state.coarse_gain.poor_excitation_counter,
-        state.coarse_gain.call_counter,
-        state.mis_blocks_acum[0], state.mis_overhang[0],
-        state.poor_coarse_filter_counters[0],
-        state.coarse_filter_reset_hangover[0],
+    assert fs.shape == (lay.NF,)
+    iv = jnp.concatenate([
+        jnp.stack([
+            state.refined.current_size, state.refined.target_size,
+            state.refined.old_target_size, state.refined.size_change_counter,
+            state.refined.partition_to_constrain,
+            state.coarse.current_size, state.coarse.target_size,
+            state.coarse.old_target_size, state.coarse.size_change_counter,
+            state.coarse.partition_to_constrain,
+            state.refined_gain.config.counter,
+            state.coarse_gain.config.counter,
+            state.refined_gain.poor_excitation_counter,
+            state.refined_gain.call_counter,
+            state.coarse_gain.poor_excitation_counter,
+            state.coarse_gain.call_counter,
+        ]),
+        state.mis_blocks_acum, state.mis_overhang,
+        state.poor_coarse_filter_counters,
+        state.coarse_filter_reset_hangover,
     ]).astype(jnp.int32)
-    return (
-        H.real, H.imag, Hc.real, Hc.imag,
-        state.refined_gain.H_error[0],
-        state.refined_frequency_responses[0],
-        state.refined_impulse_responses[0].reshape(-1, BLOCK),
-        fs, iv,
-    )
+    assert iv.shape == (lay.NI,)
+    return tuple(arrays) + (fs, iv)
 
 
 def unpack_state(state: subt.SubtractorState, arrays):
-    """Kernel arrays -> SubtractorState (rebuilding the C_cap == 1 dims)."""
-    (Hr, Hi, Hcr, Hci, H_err, freq, imp, fs, iv) = arrays
+    """Kernel arrays -> SubtractorState."""
+    C = state.refined.H.shape[0]
+    lay = pk.ScalarLayout(C)
+    ch = [arrays[c * pk.N_CH_ARRAYS:(c + 1) * pk.N_CH_ARRAYS]
+          for c in range(C)]
+    fs, iv = arrays[C * pk.N_CH_ARRAYS:C * pk.N_CH_ARRAYS + 2]
     iv = iv.astype(jnp.int32)
+    H = jnp.stack([jax.lax.complex(ch[c][0], ch[c][1]) for c in range(C)])
+    Hc = jnp.stack([jax.lax.complex(ch[c][2], ch[c][3]) for c in range(C)])
+    H_err = jnp.stack([ch[c][4] for c in range(C)])
+    freq = jnp.stack([ch[c][5] for c in range(C)])
+    imp = jnp.stack([ch[c][6].reshape(-1) for c in range(C)])
     rg_cfg = subt.GainConfigState(
         current=fs[pk.F_RG_CUR:pk.F_RG_CUR + 5],
         target=fs[pk.F_RG_TGT:pk.F_RG_TGT + 5],
@@ -87,7 +107,7 @@ def unpack_state(state: subt.SubtractorState, arrays):
     )
     return state.replace(
         refined=state.refined.replace(
-            H=jax.lax.complex(Hr, Hi)[None],
+            H=H,
             current_size=iv[pk.I_R_CUR],
             target_size=iv[pk.I_R_TGT],
             old_target_size=iv[pk.I_R_OLD],
@@ -95,7 +115,7 @@ def unpack_state(state: subt.SubtractorState, arrays):
             partition_to_constrain=iv[pk.I_R_PC],
         ),
         coarse=state.coarse.replace(
-            H=jax.lax.complex(Hcr, Hci)[None],
+            H=Hc,
             current_size=iv[pk.I_C_CUR],
             target_size=iv[pk.I_C_TGT],
             old_target_size=iv[pk.I_C_OLD],
@@ -104,7 +124,7 @@ def unpack_state(state: subt.SubtractorState, arrays):
         ),
         refined_gain=state.refined_gain.replace(
             config=rg_cfg,
-            H_error=H_err[None],
+            H_error=H_err,
             poor_excitation_counter=iv[pk.I_RG_POOR],
             call_counter=iv[pk.I_RG_CALL],
         ),
@@ -113,22 +133,24 @@ def unpack_state(state: subt.SubtractorState, arrays):
             poor_excitation_counter=iv[pk.I_CG_POOR],
             call_counter=iv[pk.I_CG_CALL],
         ),
-        mis_e2_acum=fs[pk.F_MIS_E2][None],
-        mis_y2_acum=fs[pk.F_MIS_Y2][None],
-        mis_blocks_acum=iv[pk.I_MIS_BLK][None],
-        mis_inv=fs[pk.F_MIS_INV][None],
-        mis_overhang=iv[pk.I_MIS_OVER][None],
-        poor_coarse_filter_counters=iv[pk.I_POOR_COARSE][None],
-        coarse_filter_reset_hangover=iv[pk.I_RESET_HANG][None],
-        refined_frequency_responses=freq[None],
-        refined_impulse_responses=imp.reshape(-1)[None],
+        mis_e2_acum=fs[lay.F_MIS_E2:lay.F_MIS_E2 + C],
+        mis_y2_acum=fs[lay.F_MIS_Y2:lay.F_MIS_Y2 + C],
+        mis_blocks_acum=iv[lay.I_MIS_BLK:lay.I_MIS_BLK + C],
+        mis_inv=fs[lay.F_MIS_INV:lay.F_MIS_INV + C],
+        mis_overhang=iv[lay.I_MIS_OVER:lay.I_MIS_OVER + C],
+        poor_coarse_filter_counters=iv[
+            lay.I_POOR_COARSE:lay.I_POOR_COARSE + C],
+        coarse_filter_reset_hangover=iv[
+            lay.I_RESET_HANG:lay.I_RESET_HANG + C],
+        refined_frequency_responses=freq,
+        refined_impulse_responses=imp,
     )
 
 
-def _cfg_key(config: EchoCanceller3Config, nb, P, Pc, R, W2):
+def _cfg_key(config: EchoCanceller3Config, nb, C, P, Pc, R, W2):
     f = config.filter
     return (
-        nb, P, Pc, R, W2, f.config_change_duration_blocks,
+        nb, C, P, Pc, R, W2, f.config_change_duration_blocks,
         tuple(float(v) for v in (
             f.refined.leakage_converged, f.refined.leakage_diverged,
             f.refined.error_floor, f.refined.error_ceil,
@@ -151,10 +173,11 @@ def _cfg_key(config: EchoCanceller3Config, nb, P, Pc, R, W2):
 
 @functools.lru_cache(maxsize=32)
 def _make_core(key, interpret: bool, sb: int):
-    (nb, P, Pc, R, W2, duration, r_cfg, c_cfg, r_cfg0, c_cfg0,
+    (nb, C, P, Pc, R, W2, duration, r_cfg, c_cfg, r_cfg0, c_cfg0,
      sz_r0, sz_c0, sz_r, sz_c, hangover, coarse_out) = key
+    n_state = C * pk.N_CH_ARRAYS + 2
     run = pk.make_pair_kernel(
-        nb=nb, P=P, Pc=Pc, R=R, W2=W2, duration=duration,
+        nb=nb, C=C, P=P, Pc=Pc, R=R, W2=W2, duration=duration,
         refined_cfg=r_cfg, coarse_cfg=c_cfg,
         refined_initial_cfg=r_cfg0, coarse_initial_cfg=c_cfg0,
         initial_size_refined=sz_r0, initial_size_coarse=sz_c0,
@@ -165,9 +188,9 @@ def _make_core(key, interpret: bool, sb: int):
     )
 
     def batched(args):
-        state_arrays = args[:9]
-        chains = args[9:12]
-        per_block = args[12:]
+        state_arrays = args[:n_state]
+        chains = args[n_state:n_state + 3]
+        per_block = args[n_state + 3:]
         B = state_arrays[0].shape[0]
         eff_sb = sb
         while B % eff_sb:
@@ -185,7 +208,8 @@ def _make_core(key, interpret: bool, sb: int):
                 ) if pad else a
                 for a in args
             )
-            out = run(args_p[:9], args_p[9:12], args_p[12:], sb=sb)
+            out = run(args_p[:n_state], args_p[n_state:n_state + 3],
+                      args_p[n_state + 3:], sb=sb)
             return tuple(o[:B] for o in out)
         return tuple(run(state_arrays, chains, per_block, sb=eff_sb))
 
@@ -211,7 +235,7 @@ def process_pair_kernel(
     chain_fft,  # (2W, R, 65) complex — the per-pair sf fft chain
     chain_spec_sum,  # (2W, 65) — channel-summed spectra chain
     offsets,  # (nb,) int32 row offsets into the chain per block
-    ys,  # (nb, C_cap=1, 64)
+    ys,  # (nb, C_cap, 64)
     narrow_masks,  # (nb, 65) bool
     poor_excitations,  # (nb,) bool
     delay_changes,  # (nb,) bool
@@ -223,10 +247,12 @@ def process_pair_kernel(
 ):
     """Kernel-backed subtractor.process_pair (same contract/outputs)."""
     nb = int(ys.shape[0])
+    C = state.refined.H.shape[0]
     P = state.refined.H.shape[1]
     Pc = state.coarse.H.shape[1]
     R = state.refined.H.shape[2]  # (C, P, R, 65)
     W2 = int(chain_fft.shape[0])
+    n_state = C * pk.N_CH_ARRAYS + 2
 
     arrays = pack_state(state)
     flags = jnp.stack([
@@ -237,7 +263,7 @@ def process_pair_kernel(
     ], axis=-1)  # (nb, 4)
     per_block = (
         offsets.astype(jnp.int32),
-        ys[:, 0].astype(jnp.float32),  # (nb, 64)
+        ys.reshape(nb * C, BLOCK).astype(jnp.float32),
         narrow_masks.astype(jnp.float32),
         flags,
         jnp.asarray(saturated_capture).astype(jnp.int32)[None],  # (1,)
@@ -248,26 +274,35 @@ def process_pair_kernel(
         chain_spec_sum.astype(jnp.float32),
     )
 
-    core = _make_core(_cfg_key(config, nb, P, Pc, R, W2), interpret, sb)
+    core = _make_core(_cfg_key(config, nb, C, P, Pc, R, W2), interpret, sb)
     out = core(*arrays, *chains, *per_block)
-    new_arrays = out[:9]
-    e_ref, e_coa, scal, ofreq, oimp, osize = out[9:]
+    new_arrays = out[:n_state]
+    e_ref, e_coa, scal = out[n_state:n_state + 3]
+    ofreq = out[n_state + 3:n_state + 3 + C]
+    oimp = out[n_state + 3 + C:n_state + 3 + 2 * C]
+    osize = out[n_state + 3 + 2 * C]
+
+    e_ref = e_ref.reshape(nb, C, BLOCK)
+    e_coa = e_coa.reshape(nb, C, BLOCK)
+    scal = scal.reshape(nb, C, pk.NO)
 
     new_state = unpack_state(state, new_arrays)
     outs = []
     for k in range(nb):
         outs.append(dict(
-            e_refined=e_ref[k][None],
-            e_coarse=e_coa[k][None],
-            y2=scal[k, pk.O_Y2][None],
-            e2_refined=scal[k, pk.O_E2R][None],
-            e2_coarse=scal[k, pk.O_E2C][None],
-            s2_refined=scal[k, pk.O_S2R][None],
-            s2_coarse=scal[k, pk.O_S2C][None],
-            s_refined_max_abs=scal[k, pk.O_SMAXR][None],
-            s_coarse_max_abs=scal[k, pk.O_SMAXC][None],
-            refined_frequency_responses=ofreq[k][None],
-            refined_impulse_responses=oimp[k].reshape(-1)[None],
+            e_refined=e_ref[k],
+            e_coarse=e_coa[k],
+            y2=scal[k, :, pk.O_Y2],
+            e2_refined=scal[k, :, pk.O_E2R],
+            e2_coarse=scal[k, :, pk.O_E2C],
+            s2_refined=scal[k, :, pk.O_S2R],
+            s2_coarse=scal[k, :, pk.O_S2C],
+            s_refined_max_abs=scal[k, :, pk.O_SMAXR],
+            s_coarse_max_abs=scal[k, :, pk.O_SMAXC],
+            refined_frequency_responses=jnp.stack(
+                [ofreq[c][k] for c in range(C)]),
+            refined_impulse_responses=jnp.stack(
+                [oimp[c][k].reshape(-1) for c in range(C)]),
             refined_current_size=osize[k],
         ))
     return new_state, outs

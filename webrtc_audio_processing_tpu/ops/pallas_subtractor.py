@@ -16,16 +16,25 @@ Holding H (plus H_error, the frequency/impulse responses and the gain
 config scalars) in VMEM across the frame's blocks cuts that to one read +
 one write per frame (docs/design/subtractor_megakernel.md).
 
-Scope: C_cap == 1 (the echo-controller mono capture path — the serving
-configuration); any C_ren. The XLA pair path remains the fallback for
-multi-capture geometries.
+Scope: any C_cap (the reference's per-capture-channel subtractor
+iterations are independent, aec3/subtractor.cc:196-321 — the channel loop
+is unrolled in-kernel with each channel's filters/gain state in their own
+VMEM refs, every array keeping the validated single-channel rank/layout);
+any C_ren.
 
 Layouts (B = batch of streams, leading; all f32/i32):
-- H as separate re/im planes (B, P, R, 65);
+- per capture channel: H as separate re/im planes (B, P, R, 65),
+  H_error (B, 65), frequency response (B, P, 65), impulse response
+  (B, P, 64);
 - the per-pair render chains as planar rows (B, 2W, R, 65) re/im plus a
-  channel-summed spectrum chain (B, 2W, 65); per-block windows are
-  dynamic row slices of the VMEM-resident chains;
-- scalar state packed into (B, NF) f32 + (B, NI) i32 vectors;
+  channel-summed spectrum chain (B, 2W, 65) — shared by all capture
+  channels (the render window is capture-invariant); per-block windows
+  are dynamic row slices of the VMEM-resident chains;
+- scalar state packed into (B, NF) f32 + (B, NI) i32 vectors: 21 f32 +
+  16 i32 shared slots (gain configs, filter sizes, counters — these
+  evolve in lockstep across capture channels, as in the XLA state) then
+  C-wide per-channel blocks (misadjustment estimator, coarse reset
+  state);
 - DFT bases passed as shared inputs (ops/mxu_fft packed matrices), so the
   kernel's transforms match the XLA path's matmul-DFT numerics.
 """
@@ -50,19 +59,16 @@ _DEBUG_STAGE = int(_os.environ.get("PAIR_KERNEL_STAGE", "99"))
 NUM_BINS = 65
 BLOCK = 64
 
-# f32 scalar slots
+# f32 scalar slots (shared across capture channels)
 F_RG_CUR = 0      # refined gain config current (5)
 F_RG_TGT = 5
 F_RG_OLD = 10
 F_CG_CUR = 15     # coarse gain config current (2)
 F_CG_TGT = 17
 F_CG_OLD = 19
-F_MIS_E2 = 21
-F_MIS_Y2 = 22
-F_MIS_INV = 23
-NF = 24
+NF_SHARED = 21
 
-# i32 scalar slots
+# i32 scalar slots (shared across capture channels)
 I_R_CUR = 0       # refined filter sizes
 I_R_TGT = 1
 I_R_OLD = 2
@@ -79,11 +85,25 @@ I_RG_POOR = 12
 I_RG_CALL = 13
 I_CG_POOR = 14
 I_CG_CALL = 15
-I_MIS_BLK = 16
-I_MIS_OVER = 17
-I_POOR_COARSE = 18
-I_RESET_HANG = 19
-NI = 20
+NI_SHARED = 16
+
+
+class ScalarLayout:
+    """Per-channel scalar slot offsets for C capture channels. Slot i of
+    per-channel quantity Q for channel c lives at Q_base + c."""
+
+    def __init__(self, C: int):
+        self.C = C
+        self.F_MIS_E2 = NF_SHARED          # (C,)
+        self.F_MIS_Y2 = NF_SHARED + C
+        self.F_MIS_INV = NF_SHARED + 2 * C
+        self.NF = NF_SHARED + 3 * C
+        self.I_MIS_BLK = NI_SHARED         # (C,)
+        self.I_MIS_OVER = NI_SHARED + C
+        self.I_POOR_COARSE = NI_SHARED + 2 * C
+        self.I_RESET_HANG = NI_SHARED + 3 * C
+        self.NI = NI_SHARED + 4 * C
+
 
 H_ERROR_INITIAL = 10000.0
 POOR_EXC_INITIAL = 1000
@@ -98,19 +118,8 @@ O_SMAXR = 5
 O_SMAXC = 6
 NO = 7
 
-
-def _interp_gain_config(cur, tgt, old, ctr, duration):
-    """GainConfigState interpolation (_update_gain_config). cur/tgt/old:
-    (B, K); ctr: (B,) i32. Returns (cur', old', ctr')."""
-    ctr2 = jnp.maximum(ctr - 1, 0)
-    in_trans = ctr > 0
-    still = ctr2 > 0
-    factor = (ctr2.astype(jnp.float32) / duration)[:, None]
-    interp = old * factor + tgt * (1.0 - factor)
-    cur2 = jnp.where(in_trans[:, None], jnp.where(still[:, None], interp,
-                                                  tgt), cur)
-    old2 = jnp.where((in_trans & ~still)[:, None], tgt, old)
-    return cur2, old2, ctr2
+# per-channel state arrays (in pack order)
+N_CH_ARRAYS = 7  # Hr, Hi, Hcr, Hci, H_err, freq, imp
 
 
 def _update_size(cur, tgt, old, ctr, duration):
@@ -134,15 +143,10 @@ def _apply_filter(Xr, Xi, Hr, Hi, m):
     return Sr, Si
 
 
-def _mask_partitions(H, size):
-    P = H.shape[1]
-    keep = (jnp.arange(P)[None, :] < size[:, None])[:, :, None, None]
-    return jnp.where(keep, H, 0.0)
-
-
 def make_pair_kernel(
     *,
     nb: int,              # blocks in this frame (2 or 3)
+    C: int,               # capture channels
     P: int,               # refined max partitions
     Pc: int,              # coarse max partitions
     R: int,               # render channels
@@ -162,6 +166,9 @@ def make_pair_kernel(
 ):
     """Builds the jitted pair-kernel callable. All arguments static."""
 
+    lay = ScalarLayout(C)
+    NF, NI = lay.NF, lay.NI
+
     idft = np.asarray(mxu_fft._idft_matrix_packed(128))   # (130, 128)
     dft = np.asarray(mxu_fft._dft_matrix_packed(128))     # (128, 130)
     # Windowed variants used by the kernel:
@@ -173,32 +180,43 @@ def make_pair_kernel(
     idft_head = idft[:, :BLOCK]
     dft_lo = dft[:BLOCK]
     dft_hi = dft[BLOCK:]
-    k64 = np.arange(64)
-    hann64 = (np.sin(np.pi * k64 / 63.0) ** 2).astype(np.float32)
 
     r_cfg = np.asarray(refined_cfg, np.float32)
     c_cfg = np.asarray(coarse_cfg, np.float32)
     r_cfg0 = np.asarray(refined_initial_cfg, np.float32)
     c_cfg0 = np.asarray(coarse_initial_cfg, np.float32)
 
-    def kernel(
-        # inputs (VMEM refs, leading dim = SB stream tile)
-        hr_ref, hi_ref, hcr_ref, hci_ref, herr_ref, freq_ref, imp_ref,
-        fscal_ref, iscal_ref,
-        cfr_ref, cfi_ref, csum_ref,        # chains
-        offs_ref, y_ref, mask_ref, flags_ref, sat_ref,
-        b_idt_ref, b_idh_ref, b_dlo_ref, b_dhi_ref,
-        # outputs
-        o_hr, o_hi, o_hcr, o_hci, o_herr, o_freq, o_imp, o_fscal, o_iscal,
-        o_eref, o_ecoa, o_scal, o_ofreq, o_oimp, o_osize,
-    ):
-        Hr = hr_ref[:]            # (SB, P, R, 65)
-        Hi = hi_ref[:]
-        Hcr = hcr_ref[:]          # (SB, Pc, R, 65)
-        Hci = hci_ref[:]
-        H_err = herr_ref[:]       # (SB, 65)
-        freq = freq_ref[:]        # (SB, P, 65)
-        imp = imp_ref[:]          # (SB, P, 64)
+    def kernel(*refs):
+        it = iter(refs)
+        ch_refs = [[next(it) for _ in range(N_CH_ARRAYS)] for _ in range(C)]
+        fscal_ref = next(it)
+        iscal_ref = next(it)
+        cfr_ref, cfi_ref, csum_ref = next(it), next(it), next(it)
+        offs_ref, y_ref, mask_ref = next(it), next(it), next(it)
+        flags_ref, sat_ref = next(it), next(it)
+        b_idt_ref, b_idh_ref = next(it), next(it)
+        b_dlo_ref, b_dhi_ref = next(it), next(it)
+        out_ch = [[next(it) for _ in range(N_CH_ARRAYS)] for _ in range(C)]
+        o_fscal, o_iscal = next(it), next(it)
+        o_eref, o_ecoa, o_scal = next(it), next(it), next(it)
+        o_ofreq = [next(it) for _ in range(C)]
+        o_oimp = [next(it) for _ in range(C)]
+        o_osize = next(it)
+        try:
+            leftover = next(it)
+            raise AssertionError(f"unconsumed kernel ref {leftover}")
+        except StopIteration:
+            pass
+
+        # Per-capture-channel filter/analysis state, each a list of C
+        # (SB, ...) values held live in VMEM for the whole frame.
+        Hr = [ch_refs[c][0][:] for c in range(C)]   # (SB, P, R, 65)
+        Hi = [ch_refs[c][1][:] for c in range(C)]
+        Hcr = [ch_refs[c][2][:] for c in range(C)]  # (SB, Pc, R, 65)
+        Hci = [ch_refs[c][3][:] for c in range(C)]
+        H_err = [ch_refs[c][4][:] for c in range(C)]  # (SB, 65)
+        freq = [ch_refs[c][5][:] for c in range(C)]   # (SB, P, 65)
+        imp = [ch_refs[c][6][:] for c in range(C)]    # (SB, P, 64)
         # Scalar state as per-slot (SB,) values (a dict, re-stacked at the
         # end): .at[:, i].set column updates lower to scatter, which
         # Mosaic does not implement.
@@ -214,14 +232,14 @@ def make_pair_kernel(
         idh = b_idh_ref[:]        # (130, 64) head idft
         dlo = b_dlo_ref[:]        # (64, 130)
         dhi = b_dhi_ref[:]        # (64, 130)
+        Y = y_ref[:]              # (SB, nb*C, 64)
         # kHanning64 built in-kernel (captured host constants are not
         # allowed in pallas kernels): sin^2(pi k / 63).
         hk = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1).astype(
             jnp.float32)
         hann = jnp.sin(np.float32(np.pi) * hk / 63.0) ** 2  # (1, 64)
 
-        SB = Hr.shape[0]
-        pidx = jnp.arange(P)
+        SB = Hr[0].shape[0]
 
         def col(v, i):
             return v[i]
@@ -231,18 +249,43 @@ def make_pair_kernel(
             v[i] = x
             return v
 
-        def getvec(v, base, n):
-            return jnp.stack([v[base + j] for j in range(n)], axis=-1)
-
-        def setvec(v, base, arr):
-            v = dict(v)
-            for j in range(arr.shape[-1]):
-                v[base + j] = arr[:, j]
-            return v
-
-
         def bdim(v, shape, dims):
             return jax.lax.broadcast_in_dim(v, shape, dims)
+
+        def pack_lanes(vals, width, dtype=jnp.float32):
+            """(SB,) scalars -> (SB, width) with value j in lane j.
+            jnp.stack(axis=-1) lowers to a lane-dim tpu.concatenate whose
+            per-operand layouts Mosaic cannot reconcile ("result/input
+            offset mismatch on non-concat dimension"); an iota-masked
+            select sidesteps the concat entirely."""
+            io = jax.lax.broadcasted_iota(jnp.int32, (SB, width), 1)
+            acc = jnp.zeros((SB, width), dtype)
+            for j, v in enumerate(vals):
+                acc = jnp.where(io == j,
+                                bdim(v.astype(dtype), (SB, width), (0,)), acc)
+            return acc
+
+        def interp_gain_config(fs, isv, base_cur, base_tgt, base_old,
+                               ctr_slot, K):
+            """GainConfigState interpolation (_update_gain_config), as
+            per-slot scalar ops on the (SB,) vectors."""
+            ctr = col(isv, ctr_slot)
+            ctr2 = jnp.maximum(ctr - 1, 0)
+            in_trans = ctr > 0
+            still = ctr2 > 0
+            factor = ctr2.astype(jnp.float32) / duration
+            for j in range(K):
+                cur = col(fs, base_cur + j)
+                tgt = col(fs, base_tgt + j)
+                old = col(fs, base_old + j)
+                interp = old * factor + tgt * (1.0 - factor)
+                fs = setcol(fs, base_cur + j,
+                            jnp.where(in_trans,
+                                      jnp.where(still, interp, tgt), cur))
+                fs = setcol(fs, base_old + j,
+                            jnp.where(in_trans & ~still, tgt, old))
+            isv = setcol(isv, ctr_slot, ctr2)
+            return fs, isv
 
         # Mosaic cannot relayout (SB, P)-shaped vectors into higher ranks
         # (the lane dim would become a sublane dim), so partition masks
@@ -267,12 +310,35 @@ def make_pair_kernel(
         def r4(v, Pp):    # (SB, R, 65) -> (SB, Pp, R, 65)
             return bdim(v, (SB, Pp, R, NUM_BINS), (0, 2, 3))
 
+        def constrain(Ha_r, Ha_i, pc_oh, Pp):
+            """Force-causal the one-hot-selected partition of an adapted
+            filter (adaptive_fir_filter.cc Constrain): returns the new
+            full filter (re, im) and the constrained head h_head
+            (SB, R, BLOCK)."""
+            Hpc_r = jnp.sum(Ha_r * pc_oh, axis=1)  # (SB, R, 65)
+            Hpc_i = jnp.sum(Ha_i * pc_oh, axis=1)
+            flat_r = Hpc_r.reshape(SB * R, NUM_BINS)
+            flat_i = Hpc_i.reshape(SB * R, NUM_BINS)
+            h_head = (jnp.dot(flat_r, idh[:NUM_BINS],
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(flat_i, idh[NUM_BINS:],
+                                preferred_element_type=jnp.float32))
+            Hn_r = jnp.dot(h_head, dlo[:, :NUM_BINS],
+                           preferred_element_type=jnp.float32)
+            Hn_i = jnp.dot(h_head, dlo[:, NUM_BINS:],
+                           preferred_element_type=jnp.float32)
+            Hn_r = Hn_r.reshape(SB, R, NUM_BINS)
+            Hn_i = Hn_i.reshape(SB, R, NUM_BINS)
+            new_r = jnp.where(pc_oh > 0, r4(Hn_r, Pp), Ha_r)
+            new_i = jnp.where(pc_oh > 0, r4(Hn_i, Pp), Ha_i)
+            return new_r, new_i, h_head.reshape(SB, R, BLOCK)
+
         stage = _DEBUG_STAGE
         for k in range(nb):
             if stage < 1:
                 break
             off = offs_ref[:, k]           # (SB,) row offset in chain
-            y = y_ref[:, k]                # (SB, 64)
+            y = [Y[:, k * C + c] for c in range(C)]      # (SB, 64) each
             nmask = mask_ref[:, k]         # (SB, 65) 1.0 where zeroed
             poor_exc = flags_ref[:, k, 0] != 0
             delay_ch = flags_ref[:, k, 1] != 0
@@ -281,13 +347,14 @@ def make_pair_kernel(
 
             # ---- handle_echo_path_change (full reset on delay change).
             z = delay_ch[:, None, None, None]
-            Hr = jnp.where(z, 0.0, Hr)
-            Hi = jnp.where(z, 0.0, Hi)
-            Hcr = jnp.where(z, 0.0, Hcr)
-            Hci = jnp.where(z, 0.0, Hci)
-            H_err = jnp.where(delay_ch[:, None], H_ERROR_INITIAL, H_err)
+            for c in range(C):
+                Hr[c] = jnp.where(z, 0.0, Hr[c])
+                Hi[c] = jnp.where(z, 0.0, Hi[c])
+                Hcr[c] = jnp.where(z, 0.0, Hcr[c])
+                Hci[c] = jnp.where(z, 0.0, Hci[c])
+                H_err[c] = jnp.where(delay_ch[:, None], H_ERROR_INITIAL,
+                                     H_err[c])
             dc = delay_ch
-            dci = dc.astype(jnp.int32)
             for idx, val in (
                 (I_R_CUR, initial_size_refined), (I_R_TGT, initial_size_refined),
                 (I_R_OLD, initial_size_refined),
@@ -317,7 +384,6 @@ def make_pair_kernel(
                 for j in range(2):
                     fs = setcol(fs, base + j,
                                 jnp.where(dc, vec0[j], col(fs, base + j)))
-            del dci
 
             # ---- exit_initial_state (transition): set converged targets.
             tr = transition
@@ -342,7 +408,8 @@ def make_pair_kernel(
             isv = setcol(isv, I_C_CTR,
                          jnp.where(tr, duration, col(isv, I_C_CTR)))
 
-            # ---- per-block X window + spectral sums from the chains.
+            # ---- per-block X window + spectral sums from the chains
+            # (render-side — shared by all capture channels).
             # Chain rows are (W2, R, 65); the window is rows
             # [off, off+P) — per-stream dynamic, selected by a one-hot
             # row mask in VMEM (cheap: the chain is on-chip).
@@ -373,138 +440,154 @@ def make_pair_kernel(
 
             if stage < 3:
                 continue
-            # ---- apply + prediction error (both filters).
-            Sr_r, Si_r = _apply_filter(
-                Xr, Xi, Hr, Hi,
-                (iota4(P) < s4(size_r, P)).astype(jnp.float32))
-            Sr_c, Si_c = _apply_filter(
-                Xr[:, :Pc], Xi[:, :Pc], Hcr, Hci,
-                (iota4(Pc) < s4(size_c, Pc)).astype(jnp.float32))
-            s_ref = (jnp.dot(Sr_r, idt[:NUM_BINS],
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(Si_r, idt[NUM_BINS:],
-                               preferred_element_type=jnp.float32))
-            s_coa = (jnp.dot(Sr_c, idt[:NUM_BINS],
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(Si_c, idt[NUM_BINS:],
-                               preferred_element_type=jnp.float32))
-            e_ref = y - s_ref
-            e_coa = y - s_coa
+            # ---- apply + prediction error (both filters, per channel).
+            mask_r4 = (iota4(P) < s4(size_r, P)).astype(jnp.float32)
+            mask_c4 = (iota4(Pc) < s4(size_c, Pc)).astype(jnp.float32)
+            e_ref, e_coa, s_ref = [None] * C, [None] * C, [None] * C
+            y2, e2_r, e2_c = [None] * C, [None] * C, [None] * C
+            s2_r, s2_c, smax_r, smax_c = ([None] * C for _ in range(4))
+            for c in range(C):
+                Sr_r, Si_r = _apply_filter(Xr, Xi, Hr[c], Hi[c], mask_r4)
+                Sr_c, Si_c = _apply_filter(Xr[:, :Pc], Xi[:, :Pc],
+                                           Hcr[c], Hci[c], mask_c4)
+                s_ref[c] = (jnp.dot(Sr_r, idt[:NUM_BINS],
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(Si_r, idt[NUM_BINS:],
+                                      preferred_element_type=jnp.float32))
+                s_coa = (jnp.dot(Sr_c, idt[:NUM_BINS],
+                                 preferred_element_type=jnp.float32)
+                         + jnp.dot(Si_c, idt[NUM_BINS:],
+                                   preferred_element_type=jnp.float32))
+                e_ref[c] = y[c] - s_ref[c]
+                e_coa[c] = y[c] - s_coa
 
-            y2 = jnp.sum(y * y, axis=-1)
-            e2_r = jnp.sum(e_ref * e_ref, axis=-1)
-            e2_c = jnp.sum(e_coa * e_coa, axis=-1)
-            s2_r = jnp.sum(s_ref * s_ref, axis=-1)
-            s2_c = jnp.sum(s_coa * s_coa, axis=-1)
-            smax_r = jnp.max(jnp.abs(s_ref), axis=-1)
-            smax_c = jnp.max(jnp.abs(s_coa), axis=-1)
+                y2[c] = jnp.sum(y[c] * y[c], axis=-1)
+                e2_r[c] = jnp.sum(e_ref[c] * e_ref[c], axis=-1)
+                e2_c[c] = jnp.sum(e_coa[c] * e_coa[c], axis=-1)
+                s2_r[c] = jnp.sum(s_ref[c] * s_ref[c], axis=-1)
+                s2_c[c] = jnp.sum(s_coa * s_coa, axis=-1)
+                smax_r[c] = jnp.max(jnp.abs(s_ref[c]), axis=-1)
+                smax_c[c] = jnp.max(jnp.abs(s_coa), axis=-1)
 
             if stage < 4:
-                o_eref[:, k] = e_ref
-                o_ecoa[:, k] = e_coa
+                for c in range(C):
+                    o_eref[:, k * C + c] = e_ref[c]
+                    o_ecoa[:, k * C + c] = e_coa[c]
                 continue
-            # ---- misadjustment estimator (subtractor.cc:324-357).
-            e2a = col(fs, F_MIS_E2) + e2_r
-            y2a = col(fs, F_MIS_Y2) + y2
-            nblk = col(isv, I_MIS_BLK) + 1
-            win_done = nblk == 4
-            active = y2a > 4 * 200.0**2 * BLOCK
-            upd = e2a / jnp.maximum(y2a, 1e-30)
-            over = col(isv, I_MIS_OVER)
-            over = jnp.where(
-                win_done & active & (e2a > 4 * 7500.0**2 * BLOCK), 4,
-                jnp.maximum(over - jnp.where(win_done & active, 1, 0), 0))
-            mis_inv = col(fs, F_MIS_INV)
-            take = win_done & active & ((upd < mis_inv) | (over > 0))
-            mis_inv = jnp.where(take, mis_inv + 0.1 * (upd - mis_inv),
-                                mis_inv)
-            e2a = jnp.where(win_done, 0.0, e2a)
-            y2a = jnp.where(win_done, 0.0, y2a)
-            nblk = jnp.where(win_done, 0, nblk)
-            adjust = mis_inv > 10.0
-            scale = jnp.where(
-                adjust, 2.0 / jnp.sqrt(jnp.maximum(mis_inv, 1e-10)), 1.0)
-            Hr = Hr * scale[:, None, None, None]
-            Hi = Hi * scale[:, None, None, None]
-            imp = imp * scale[:, None, None]
-            s_ref = s_ref * scale[:, None]
-            e_ref = y - s_ref
-            mis_inv = jnp.where(adjust, 0.0, mis_inv)
-            over = jnp.where(adjust, 0, over)
-            e2a = jnp.where(adjust, 0.0, e2a)
-            y2a = jnp.where(adjust, 0.0, y2a)
-            nblk = jnp.where(adjust, 0, nblk)
-            fs = setcol(fs, F_MIS_E2, e2a)
-            fs = setcol(fs, F_MIS_Y2, y2a)
-            fs = setcol(fs, F_MIS_INV, mis_inv)
-            isv = setcol(isv, I_MIS_BLK, nblk)
-            isv = setcol(isv, I_MIS_OVER, over)
+            # ---- misadjustment estimator (subtractor.cc:324-357), per
+            # capture channel.
+            adjust = [None] * C
+            for c in range(C):
+                e2a = col(fs, lay.F_MIS_E2 + c) + e2_r[c]
+                y2a = col(fs, lay.F_MIS_Y2 + c) + y2[c]
+                nblk = col(isv, lay.I_MIS_BLK + c) + 1
+                win_done = nblk == 4
+                active = y2a > 4 * 200.0**2 * BLOCK
+                upd = e2a / jnp.maximum(y2a, 1e-30)
+                over = col(isv, lay.I_MIS_OVER + c)
+                over = jnp.where(
+                    win_done & active & (e2a > 4 * 7500.0**2 * BLOCK), 4,
+                    jnp.maximum(over - jnp.where(win_done & active, 1, 0), 0))
+                mis_inv = col(fs, lay.F_MIS_INV + c)
+                take = win_done & active & ((upd < mis_inv) | (over > 0))
+                mis_inv = jnp.where(take, mis_inv + 0.1 * (upd - mis_inv),
+                                    mis_inv)
+                e2a = jnp.where(win_done, 0.0, e2a)
+                y2a = jnp.where(win_done, 0.0, y2a)
+                nblk = jnp.where(win_done, 0, nblk)
+                adjust[c] = mis_inv > 10.0
+                scale = jnp.where(
+                    adjust[c],
+                    2.0 / jnp.sqrt(jnp.maximum(mis_inv, 1e-10)), 1.0)
+                Hr[c] = Hr[c] * scale[:, None, None, None]
+                Hi[c] = Hi[c] * scale[:, None, None, None]
+                imp[c] = imp[c] * scale[:, None, None]
+                s_ref[c] = s_ref[c] * scale[:, None]
+                e_ref[c] = y[c] - s_ref[c]
+                mis_inv = jnp.where(adjust[c], 0.0, mis_inv)
+                over = jnp.where(adjust[c], 0, over)
+                e2a = jnp.where(adjust[c], 0.0, e2a)
+                y2a = jnp.where(adjust[c], 0.0, y2a)
+                nblk = jnp.where(adjust[c], 0, nblk)
+                fs = setcol(fs, lay.F_MIS_E2 + c, e2a)
+                fs = setcol(fs, lay.F_MIS_Y2 + c, y2a)
+                fs = setcol(fs, lay.F_MIS_INV + c, mis_inv)
+                isv = setcol(isv, lay.I_MIS_BLK + c, nblk)
+                isv = setcol(isv, lay.I_MIS_OVER + c, over)
 
             if stage < 5:
-                o_eref[:, k] = e_ref
-                o_ecoa[:, k] = e_coa
+                for c in range(C):
+                    o_eref[:, k * C + c] = e_ref[c]
+                    o_ecoa[:, k * C + c] = e_coa[c]
                 continue
-            # ---- error FFTs (hanning, zero-padded).
-            we_r = e_ref * hann
-            we_c = e_coa * hann
-            Er = jnp.dot(we_r, dhi[:, :NUM_BINS],
-                         preferred_element_type=jnp.float32)
-            Ei = jnp.dot(we_r, dhi[:, NUM_BINS:],
-                         preferred_element_type=jnp.float32)
-            Ecr = jnp.dot(we_c, dhi[:, :NUM_BINS],
-                          preferred_element_type=jnp.float32)
-            Eci = jnp.dot(we_c, dhi[:, NUM_BINS:],
-                          preferred_element_type=jnp.float32)
-            E2_r = Er * Er + Ei * Ei
-            E2_c = Ecr * Ecr + Eci * Eci
+            # ---- error FFTs (hanning, zero-padded), per channel.
+            Er, Ei, Ecr, Eci = ([None] * C for _ in range(4))
+            E2_r, E2_c = [None] * C, [None] * C
+            for c in range(C):
+                we_r = e_ref[c] * hann
+                we_c = e_coa[c] * hann
+                Er[c] = jnp.dot(we_r, dhi[:, :NUM_BINS],
+                                preferred_element_type=jnp.float32)
+                Ei[c] = jnp.dot(we_r, dhi[:, NUM_BINS:],
+                                preferred_element_type=jnp.float32)
+                Ecr[c] = jnp.dot(we_c, dhi[:, :NUM_BINS],
+                                 preferred_element_type=jnp.float32)
+                Eci[c] = jnp.dot(we_c, dhi[:, NUM_BINS:],
+                                 preferred_element_type=jnp.float32)
+                E2_r[c] = Er[c] * Er[c] + Ei[c] * Ei[c]
+                E2_c[c] = Ecr[c] * Ecr[c] + Eci[c] * Eci[c]
 
-            # ---- refined gain (refined_filter_update_gain.cc:80-150).
-            cur, old, ctr = _interp_gain_config(
-                getvec(fs, F_RG_CUR, 5), getvec(fs, F_RG_TGT, 5),
-                getvec(fs, F_RG_OLD, 5), col(isv, I_RG_CTR), duration)
-            fs = setvec(fs, F_RG_CUR, cur)
-            fs = setvec(fs, F_RG_OLD, old)
-            isv = setcol(isv, I_RG_CTR, ctr)
-            leak_conv, leak_div = cur[:, 0], cur[:, 1]
-            err_floor, err_ceil, noise_gate = cur[:, 2], cur[:, 3], cur[:, 4]
+            # ---- refined gain (refined_filter_update_gain.cc:80-150):
+            # config interpolation + counters shared; mu/G per channel.
+            fs, isv = interp_gain_config(
+                fs, isv, F_RG_CUR, F_RG_TGT, F_RG_OLD, I_RG_CTR, 5)
+            leak_conv = col(fs, F_RG_CUR + 0)
+            leak_div = col(fs, F_RG_CUR + 1)
+            err_floor = col(fs, F_RG_CUR + 2)
+            err_ceil = col(fs, F_RG_CUR + 3)
+            noise_gate = col(fs, F_RG_CUR + 4)
             call_r = col(isv, I_RG_CALL) + 1
             poor_r = jnp.where(poor_exc, 0, col(isv, I_RG_POOR)) + 1
             isv = setcol(isv, I_RG_CALL, call_r)
             isv = setcol(isv, I_RG_POOR, poor_r)
             no_upd = ((poor_r < size_r) | sat | (call_r <= size_r))
             sizef = size_r.astype(jnp.float32)[:, None]
-            mu = jnp.where(
-                X2_ref >= noise_gate[:, None],
-                H_err / (0.5 * H_err * X2_ref + sizef * E2_r), 0.0)
-            mu = jnp.where(nmask > 0, 0.0, mu)
-            mu = jnp.where(no_upd[:, None], 0.0, mu)
-            H_err = H_err - 0.5 * mu * X2_ref * H_err
-            Gr = jnp.where(no_upd[:, None], 0.0, mu * Er)
-            Gi = jnp.where(no_upd[:, None], 0.0, mu * Ei)
-            hang = col(isv, I_RESET_HANG)
-            disallow = hang > 0
-            erl = jnp.sum(freq, axis=1)  # (SB, 65)
-            leak = jnp.where(((E2_r <= E2_c) | disallow[:, None]),
-                             leak_conv[:, None], leak_div[:, None])
-            H_err = H_err + leak * erl
-            H_err = jnp.clip(H_err, err_floor[:, None], err_ceil[:, None])
-            # Adjusted channels get zero refined gain (subtractor.cc:268).
-            Gr = jnp.where(adjust[:, None], 0.0, Gr)
-            Gi = jnp.where(adjust[:, None], 0.0, Gi)
+            Gr, Gi = [None] * C, [None] * C
+            for c in range(C):
+                mu = jnp.where(
+                    X2_ref >= noise_gate[:, None],
+                    H_err[c] / (0.5 * H_err[c] * X2_ref + sizef * E2_r[c]),
+                    0.0)
+                mu = jnp.where(nmask > 0, 0.0, mu)
+                mu = jnp.where(no_upd[:, None], 0.0, mu)
+                H_err[c] = H_err[c] - 0.5 * mu * X2_ref * H_err[c]
+                Gr[c] = jnp.where(no_upd[:, None], 0.0, mu * Er[c])
+                Gi[c] = jnp.where(no_upd[:, None], 0.0, mu * Ei[c])
+                disallow = col(isv, lay.I_RESET_HANG + c) > 0
+                erl = jnp.sum(freq[c], axis=1)  # (SB, 65)
+                leak = jnp.where(((E2_r[c] <= E2_c[c]) | disallow[:, None]),
+                                 leak_conv[:, None], leak_div[:, None])
+                H_err[c] = H_err[c] + leak * erl
+                H_err[c] = jnp.clip(H_err[c], err_floor[:, None],
+                                    err_ceil[:, None])
+                # Adjusted channels get zero refined gain
+                # (subtractor.cc:268).
+                Gr[c] = jnp.where(adjust[c][:, None], 0.0, Gr[c])
+                Gi[c] = jnp.where(adjust[c][:, None], 0.0, Gi[c])
 
             if stage < 6:
-                o_eref[:, k] = e_ref
-                o_ecoa[:, k] = e_coa
+                for c in range(C):
+                    o_eref[:, k * C + c] = e_ref[c]
+                    o_ecoa[:, k * C + c] = e_coa[c]
                 continue
-            # ---- refined update size + adapt + constrain.
+            # ---- refined update size (shared) + adapt + constrain (per
+            # channel).
             new_size, new_old, new_ctr = _update_size(
                 col(isv, I_R_CUR), col(isv, I_R_TGT), col(isv, I_R_OLD),
                 col(isv, I_R_CTR), duration)
             keep_new = 1.0 - ((iota4(P) >= s4(col(isv, I_R_CUR), P))
                               & (iota4(P) < s4(new_size, P))).astype(
                                   jnp.float32)
-            Hr = Hr * keep_new
-            Hi = Hi * keep_new
             isv = setcol(isv, I_R_CUR, new_size)
             isv = setcol(isv, I_R_OLD, new_old)
             isv = setcol(isv, I_R_CTR, new_ctr)
@@ -514,87 +597,57 @@ def make_pair_kernel(
             maskp = (iota4(P) < s4(size_r, P)).astype(jnp.float32)
             Xmr = Xr * maskp
             Xmi = -Xi * maskp  # conj
-            # adapt all partitions
-            Gr4, Gi4 = g4(Gr, P), g4(Gi, P)
-            Hr_a = Hr + Xmr * Gr4 - Xmi * Gi4
-            Hi_a = Hi + Xmr * Gi4 + Xmi * Gr4
-            # constrain partition pc: one-hot row select in VMEM.
             pc_oh = (iota4(P) == s4(pc, P)).astype(jnp.float32)
-            Hpc_r = jnp.sum(Hr_a * pc_oh, axis=1)  # (SB, R, 65)
-            Hpc_i = jnp.sum(Hi_a * pc_oh, axis=1)
-            flat_r = Hpc_r.reshape(SB * R, NUM_BINS)
-            flat_i = Hpc_i.reshape(SB * R, NUM_BINS)
-            h_head = (jnp.dot(flat_r, idh[:NUM_BINS],
-                              preferred_element_type=jnp.float32)
-                      + jnp.dot(flat_i, idh[NUM_BINS:],
-                                preferred_element_type=jnp.float32))
-            Hn_r = jnp.dot(h_head, dlo[:, :NUM_BINS],
-                           preferred_element_type=jnp.float32)
-            Hn_i = jnp.dot(h_head, dlo[:, NUM_BINS:],
-                           preferred_element_type=jnp.float32)
-            Hn_r = Hn_r.reshape(SB, R, NUM_BINS)
-            Hn_i = Hn_i.reshape(SB, R, NUM_BINS)
-            Hr = jnp.where(pc_oh > 0, r4(Hn_r, P), Hr_a)
-            Hi = jnp.where(pc_oh > 0, r4(Hn_i, P), Hi_a)
+            pc_m = (iota3(P, BLOCK) == s3(pc, P, BLOCK)).astype(jnp.float32)
+            for c in range(C):
+                Hr[c] = Hr[c] * keep_new
+                Hi[c] = Hi[c] * keep_new
+                # adapt all partitions
+                Gr4, Gi4 = g4(Gr[c], P), g4(Gi[c], P)
+                Hr_a = Hr[c] + Xmr * Gr4 - Xmi * Gi4
+                Hi_a = Hi[c] + Xmr * Gi4 + Xmi * Gr4
+                # constrain partition pc: one-hot row select in VMEM.
+                Hr[c], Hi[c], hh = constrain(Hr_a, Hi_a, pc_oh, P)
 
-            # impulse response row pc <- max-|.|-per-tap across render chs.
-            hh = h_head.reshape(SB, R, BLOCK)
-            seg = hh[:, 0]
-            for rr in range(1, R):
-                cand = hh[:, rr]
-                seg = jnp.where(jnp.abs(seg) < jnp.abs(cand), cand, seg)
-            pc_m = (iota3(P, BLOCK) == s3(pc, P, BLOCK)).astype(
-                jnp.float32)
-            seg_b = bdim(seg, (SB, P, BLOCK), (0, 2))
-            imp = jnp.where(pc_m > 0, seg_b, imp)
+                # impulse response row pc <- max-|.|-per-tap across render
+                # channels.
+                seg = hh[:, 0]
+                for rr in range(1, R):
+                    cand = hh[:, rr]
+                    seg = jnp.where(jnp.abs(seg) < jnp.abs(cand), cand, seg)
+                seg_b = bdim(seg, (SB, P, BLOCK), (0, 2))
+                imp[c] = jnp.where(pc_m > 0, seg_b, imp[c])
+
+                # frequency response: max over render channels of |H|^2,
+                # zero beyond current size (full recompute — H is on-chip).
+                H2 = jnp.max(Hr[c] * Hr[c] + Hi[c] * Hi[c], axis=2)
+                freq[c] = H2 * (iota3(P, NUM_BINS)
+                                < s3(size_r, P, NUM_BINS)).astype(jnp.float32)
             isv = setcol(isv, I_R_PC,
                          jnp.where(pc < size_r - 1, pc + 1, 0))
 
-            # frequency response: max over render channels of |H|^2,
-            # zero beyond current size (full recompute — H is on-chip).
-            H2 = jnp.max(Hr * Hr + Hi * Hi, axis=2)  # (SB, P, 65)
-            freq = H2 * (iota3(P, NUM_BINS)
-                         < s3(size_r, P, NUM_BINS)).astype(jnp.float32)
-
             if stage < 7:
-                o_eref[:, k] = e_ref
-                o_ecoa[:, k] = e_coa
-                o_ofreq[:, k] = freq
-                o_oimp[:, k] = imp
+                for c in range(C):
+                    o_eref[:, k * C + c] = e_ref[c]
+                    o_ecoa[:, k * C + c] = e_coa[c]
+                    o_ofreq[c][:, k] = freq[c]
+                    o_oimp[c][:, k] = imp[c]
                 o_osize[:, k] = size_r
                 continue
-            # ---- coarse filter path (subtractor.cc:282-311).
-            poor_c = jnp.where(e2_r < e2_c, col(isv, I_POOR_COARSE) + 1, 0)
-            reset_c = poor_c >= 5
-            poor_c = jnp.where(reset_c, 0, poor_c)
-            isv = setcol(isv, I_POOR_COARSE, poor_c)
-
+            # ---- coarse filter path (subtractor.cc:282-311): sizes and
+            # gain config shared; reset/adapt per channel.
             csize, cold, cctr = _update_size(
                 col(isv, I_C_CUR), col(isv, I_C_TGT), col(isv, I_C_OLD),
                 col(isv, I_C_CTR), duration)
             keep_c = 1.0 - ((iota4(Pc) >= s4(col(isv, I_C_CUR), Pc))
                             & (iota4(Pc) < s4(csize, Pc))).astype(jnp.float32)
-            Hcr = Hcr * keep_c
-            Hci = Hci * keep_c
             isv = setcol(isv, I_C_CUR, csize)
             isv = setcol(isv, I_C_OLD, cold)
             isv = setcol(isv, I_C_CTR, cctr)
-            rc = reset_c[:, None, None, None]
-            Hcr = jnp.where(rc, Hr[:, :Pc], Hcr)
-            Hci = jnp.where(rc, Hi[:, :Pc], Hci)
-            hang = jnp.where(reset_c, coarse_reset_hangover_blocks,
-                             jnp.maximum(hang - 1, 0))
-            isv = setcol(isv, I_RESET_HANG, hang)
-            Efr = jnp.where(reset_c[:, None], Er, Ecr)
-            Efi = jnp.where(reset_c[:, None], Ei, Eci)
 
-            ccur, ccold, ccctr = _interp_gain_config(
-                getvec(fs, F_CG_CUR, 2), getvec(fs, F_CG_TGT, 2),
-                getvec(fs, F_CG_OLD, 2), col(isv, I_CG_CTR), duration)
-            fs = setvec(fs, F_CG_CUR, ccur)
-            fs = setvec(fs, F_CG_OLD, ccold)
-            isv = setcol(isv, I_CG_CTR, ccctr)
-            rate, cngate = ccur[:, 0], ccur[:, 1]
+            fs, isv = interp_gain_config(
+                fs, isv, F_CG_CUR, F_CG_TGT, F_CG_OLD, I_CG_CTR, 2)
+            rate, cngate = col(fs, F_CG_CUR + 0), col(fs, F_CG_CUR + 1)
             call_c = col(isv, I_CG_CALL) + 1
             poorx_c = jnp.where(poor_exc, 0, col(isv, I_CG_POOR)) + 1
             isv = setcol(isv, I_CG_CALL, call_c)
@@ -603,61 +656,71 @@ def make_pair_kernel(
             mu_c = jnp.where(X2_coa > cngate[:, None],
                              rate[:, None] / jnp.maximum(X2_coa, 1e-30), 0.0)
             mu_c = jnp.where(nmask > 0, 0.0, mu_c)
-            Gcr = jnp.where(no_upd_c[:, None], 0.0, mu_c * Efr)
-            Gci = jnp.where(no_upd_c[:, None], 0.0, mu_c * Efi)
 
             cmask = (iota4(Pc) < s4(csize, Pc)).astype(jnp.float32)
             Xcr = Xr[:, :Pc] * cmask
             Xci = -Xi[:, :Pc] * cmask
-            Gcr4, Gci4 = g4(Gcr, Pc), g4(Gci, Pc)
-            Hcr_a = Hcr + Xcr * Gcr4 - Xci * Gci4
-            Hci_a = Hci + Xcr * Gci4 + Xci * Gcr4
             cpc = jnp.minimum(col(isv, I_C_PC), csize - 1)
             cpc_oh = (iota4(Pc) == s4(cpc, Pc)).astype(jnp.float32)
-            Cpc_r = jnp.sum(Hcr_a * cpc_oh, axis=1)
-            Cpc_i = jnp.sum(Hci_a * cpc_oh, axis=1)
-            cflat_r = Cpc_r.reshape(SB * R, NUM_BINS)
-            cflat_i = Cpc_i.reshape(SB * R, NUM_BINS)
-            ch_head = (jnp.dot(cflat_r, idh[:NUM_BINS],
-                               preferred_element_type=jnp.float32)
-                       + jnp.dot(cflat_i, idh[NUM_BINS:],
-                                 preferred_element_type=jnp.float32))
-            Cn_r = jnp.dot(ch_head, dlo[:, :NUM_BINS],
-                           preferred_element_type=jnp.float32)
-            Cn_i = jnp.dot(ch_head, dlo[:, NUM_BINS:],
-                           preferred_element_type=jnp.float32)
-            Cn_r = Cn_r.reshape(SB, R, NUM_BINS)
-            Cn_i = Cn_i.reshape(SB, R, NUM_BINS)
-            Hcr = jnp.where(cpc_oh > 0, r4(Cn_r, Pc), Hcr_a)
-            Hci = jnp.where(cpc_oh > 0, r4(Cn_i, Pc), Hci_a)
+            for c in range(C):
+                poor_c = jnp.where(e2_r[c] < e2_c[c],
+                                   col(isv, lay.I_POOR_COARSE + c) + 1, 0)
+                reset_c = poor_c >= 5
+                poor_c = jnp.where(reset_c, 0, poor_c)
+                isv = setcol(isv, lay.I_POOR_COARSE + c, poor_c)
+
+                Hcr[c] = Hcr[c] * keep_c
+                Hci[c] = Hci[c] * keep_c
+                rc = reset_c[:, None, None, None]
+                Hcr[c] = jnp.where(rc, Hr[c][:, :Pc], Hcr[c])
+                Hci[c] = jnp.where(rc, Hi[c][:, :Pc], Hci[c])
+                hang = col(isv, lay.I_RESET_HANG + c)
+                hang = jnp.where(reset_c, coarse_reset_hangover_blocks,
+                                 jnp.maximum(hang - 1, 0))
+                isv = setcol(isv, lay.I_RESET_HANG + c, hang)
+                Efr = jnp.where(reset_c[:, None], Er[c], Ecr[c])
+                Efi = jnp.where(reset_c[:, None], Ei[c], Eci[c])
+                Gcr = jnp.where(no_upd_c[:, None], 0.0, mu_c * Efr)
+                Gci = jnp.where(no_upd_c[:, None], 0.0, mu_c * Efi)
+
+                Gcr4, Gci4 = g4(Gcr, Pc), g4(Gci, Pc)
+                Hcr_a = Hcr[c] + Xcr * Gcr4 - Xci * Gci4
+                Hci_a = Hci[c] + Xcr * Gci4 + Xci * Gcr4
+                Hcr[c], Hci[c], _ = constrain(Hcr_a, Hci_a, cpc_oh, Pc)
             isv = setcol(isv, I_C_PC,
                          jnp.where(cpc < csize - 1, cpc + 1, 0))
 
             # ---- per-block outputs.
-            o_eref[:, k] = e_ref
-            o_ecoa[:, k] = e_coa
-            o_scal[:, k] = jnp.stack(
-                [y2, e2_r, e2_c, s2_r, s2_c, smax_r, smax_c], axis=-1
-            )
-            o_ofreq[:, k] = freq
-            o_oimp[:, k] = imp
+            for c in range(C):
+                o_eref[:, k * C + c] = e_ref[c]
+                o_ecoa[:, k * C + c] = e_coa[c]
+                o_scal[:, k * C + c] = pack_lanes(
+                    [y2[c], e2_r[c], e2_c[c], s2_r[c], s2_c[c], smax_r[c],
+                     smax_c[c]], NO)
+                o_ofreq[c][:, k] = freq[c]
+                o_oimp[c][:, k] = imp[c]
             o_osize[:, k] = size_r
 
-        o_hr[:] = Hr
-        o_hi[:] = Hi
-        o_hcr[:] = Hcr
-        o_hci[:] = Hci
-        o_herr[:] = H_err
-        o_freq[:] = freq
-        o_imp[:] = imp
-        o_fscal[:] = jnp.stack([fs[i] for i in range(NF)], axis=-1)
-        o_iscal[:] = jnp.stack([isv[i] for i in range(NI)], axis=-1)
+        for c in range(C):
+            out_ch[c][0][:] = Hr[c]
+            out_ch[c][1][:] = Hi[c]
+            out_ch[c][2][:] = Hcr[c]
+            out_ch[c][3][:] = Hci[c]
+            out_ch[c][4][:] = H_err[c]
+            out_ch[c][5][:] = freq[c]
+            out_ch[c][6][:] = imp[c]
+        o_fscal[:] = pack_lanes([fs[i] for i in range(NF)], NF)
+        o_iscal[:] = pack_lanes([isv[i] for i in range(NI)], NI, jnp.int32)
 
     def run(state_arrays, chains, per_block, sb=8):
-        (Hr, Hi, Hcr, Hci, H_err, freq, imp, fs, isv) = state_arrays
+        """state_arrays: per-channel 7-tuples flattened (C*7 arrays) then
+        (fs, iv); chains: (Cr, Ci, Cs); per_block: (offs, y, nmask, flags,
+        sat). All batched with leading B."""
+        assert len(state_arrays) == C * N_CH_ARRAYS + 2
+        fs, isv = state_arrays[-2:]
         (Cr, Ci, Cs) = chains
         (offs, y, nmask, flags, sat) = per_block
-        B = Hr.shape[0]
+        B = fs.shape[0]
         assert B % sb == 0, (B, sb)
         grid = (B // sb,)
 
@@ -675,42 +738,36 @@ def make_pair_kernel(
         dlo_a = jnp.asarray(dft_lo)
         dhi_a = jnp.asarray(dft_hi)
 
-        out_shape = [
-            jax.ShapeDtypeStruct(Hr.shape, jnp.float32),
-            jax.ShapeDtypeStruct(Hi.shape, jnp.float32),
-            jax.ShapeDtypeStruct(Hcr.shape, jnp.float32),
-            jax.ShapeDtypeStruct(Hci.shape, jnp.float32),
-            jax.ShapeDtypeStruct(H_err.shape, jnp.float32),
-            jax.ShapeDtypeStruct(freq.shape, jnp.float32),
-            jax.ShapeDtypeStruct(imp.shape, jnp.float32),
-            jax.ShapeDtypeStruct(fs.shape, jnp.float32),
-            jax.ShapeDtypeStruct(isv.shape, jnp.int32),
-            jax.ShapeDtypeStruct((B, nb, BLOCK), jnp.float32),   # e_ref
-            jax.ShapeDtypeStruct((B, nb, BLOCK), jnp.float32),   # e_coa
-            jax.ShapeDtypeStruct((B, nb, NO), jnp.float32),      # scalars
-            jax.ShapeDtypeStruct((B, nb, P, NUM_BINS), jnp.float32),
-            jax.ShapeDtypeStruct((B, nb, P, BLOCK), jnp.float32),
-            jax.ShapeDtypeStruct((B, nb), jnp.int32),            # size
-        ]
-        in_specs = [
-            bs(Hr.shape[1:]), bs(Hi.shape[1:]),
-            bs(Hcr.shape[1:]), bs(Hci.shape[1:]),
-            bs(H_err.shape[1:]), bs(freq.shape[1:]), bs(imp.shape[1:]),
-            bs(fs.shape[1:]), bs(isv.shape[1:]),
-            bs(Cr.shape[1:]), bs(Ci.shape[1:]), bs(Cs.shape[1:]),
-            bs(offs.shape[1:]), bs(y.shape[1:]), bs(nmask.shape[1:]),
-            bs(flags.shape[1:]), bs(sat.shape[1:]),
-            shared(idt.shape), shared(idh.shape),
-            shared(dlo_a.shape), shared(dhi_a.shape),
-        ]
-        out_specs = [
-            bs(Hr.shape[1:]), bs(Hi.shape[1:]),
-            bs(Hcr.shape[1:]), bs(Hci.shape[1:]),
-            bs(H_err.shape[1:]), bs(freq.shape[1:]), bs(imp.shape[1:]),
-            bs(fs.shape[1:]), bs(isv.shape[1:]),
-            bs((nb, BLOCK)), bs((nb, BLOCK)), bs((nb, NO)),
-            bs((nb, P, NUM_BINS)), bs((nb, P, BLOCK)), bs((nb,)),
-        ]
+        out_shape = (
+            [jax.ShapeDtypeStruct(a.shape,
+                                  jnp.int32 if a is isv else jnp.float32)
+             for a in state_arrays]
+            + [
+                jax.ShapeDtypeStruct((B, nb * C, BLOCK), jnp.float32),  # e_r
+                jax.ShapeDtypeStruct((B, nb * C, BLOCK), jnp.float32),  # e_c
+                jax.ShapeDtypeStruct((B, nb * C, NO), jnp.float32),  # scalars
+            ]
+            + [jax.ShapeDtypeStruct((B, nb, P, NUM_BINS), jnp.float32)
+               for _ in range(C)]
+            + [jax.ShapeDtypeStruct((B, nb, P, BLOCK), jnp.float32)
+               for _ in range(C)]
+            + [jax.ShapeDtypeStruct((B, nb), jnp.int32)]               # size
+        )
+        in_specs = (
+            [bs(a.shape[1:]) for a in state_arrays]
+            + [bs(Cr.shape[1:]), bs(Ci.shape[1:]), bs(Cs.shape[1:]),
+               bs(offs.shape[1:]), bs(y.shape[1:]), bs(nmask.shape[1:]),
+               bs(flags.shape[1:]), bs(sat.shape[1:]),
+               shared(idt.shape), shared(idh.shape),
+               shared(dlo_a.shape), shared(dhi_a.shape)]
+        )
+        out_specs = (
+            [bs(a.shape[1:]) for a in state_arrays]
+            + [bs((nb * C, BLOCK)), bs((nb * C, BLOCK)), bs((nb * C, NO))]
+            + [bs((nb, P, NUM_BINS)) for _ in range(C)]
+            + [bs((nb, P, BLOCK)) for _ in range(C)]
+            + [bs((nb,))]
+        )
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -725,8 +782,7 @@ def make_pair_kernel(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(Hr, Hi, Hcr, Hci, H_err, freq, imp, fs, isv,
-          Cr, Ci, Cs, offs, y, nmask, flags, sat,
+        )(*state_arrays, Cr, Ci, Cs, offs, y, nmask, flags, sat,
           idt, idh, dlo_a, dhi_a)
 
     return run
