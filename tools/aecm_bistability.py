@@ -35,7 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_RES = "/root/reference/tests/resources"
 
 
-def main():
+def evidence(n_seeds: int = 6, n_frames: int = 700) -> dict:
+    """Re-derives the bistability evidence (nothing hard-coded): runs the
+    compiled reference's own NS->AECM cascade with +-1 LSB dither on ~1.5%
+    of samples across seeds and reports the attractor set. Returns a dict
+    suitable for embedding in the conformance-matrix row:
+    {bistable_reference, attractors, attractor_spread, unperturbed}."""
     import diff_vs_ref as dvr
     from aecm_probe import RefAecm
 
@@ -48,7 +53,7 @@ def main():
         return pcm[: n * 2 * frame].reshape(n, frame, 2)
 
     far_f, near_f = stereo(far), stereo(near)
-    n_frames = min(700, len(far_f), len(near_f))
+    n_frames = min(n_frames, len(far_f), len(near_f))
 
     # The reference's own NS output (the exact int16 stream its AECM
     # consumes in the {ns,aecm} profile) and the bit-exact far path
@@ -84,15 +89,31 @@ def main():
         return m // n_frames
 
     base = run(False)
-    print(f"unperturbed reference max_output_average: {base}")
     seen = {base}
-    for seed in range(6):
+    per_seed = []
+    for seed in range(n_seeds):
         r = run(True, seed)
         seen.add(r)
-        print(f"seed {seed}: max_output_average {r} (delta {r - base:+d})")
+        per_seed.append(r)
     lo, hi = min(seen), max(seen)
-    print(f"\nattractor spread: {hi - lo} "
-          f"({'BISTABLE — oracle +-7 bar not meaningful' if hi - lo > 7 else 'stable'})")
+    return dict(
+        bistable_reference=bool(hi - lo > 7),
+        unperturbed=int(base),
+        attractors=sorted(int(v) for v in seen),
+        attractor_spread=int(hi - lo),
+        per_seed=per_seed,
+        n_frames=int(n_frames),
+    )
+
+
+def main():
+    ev = evidence()
+    print(f"unperturbed reference max_output_average: {ev['unperturbed']}")
+    for seed, r in enumerate(ev["per_seed"]):
+        print(f"seed {seed}: max_output_average {r} "
+              f"(delta {r - ev['unperturbed']:+d})")
+    print(f"\nattractor spread: {ev['attractor_spread']} "
+          f"({'BISTABLE — oracle +-7 bar not meaningful' if ev['bistable_reference'] else 'stable'})")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,15 @@ def main():
                                 res["max_output_average"]
                                 - res["oracle_max_output_average"]) <= 7,
                         )
+                        if (not row["max_out_oracle_ok"]
+                                and rate == 16000 and ch == 2 and rev == 2):
+                            # Self-explaining fail: re-derive the
+                            # reference-side bistability evidence (the
+                            # NS->AECM cascade has two attractors under
+                            # +-1 LSB dither; tools/aecm_bistability.py)
+                            # so the row reads as explained-fail.
+                            import aecm_bistability
+                            row.update(aecm_bistability.evidence())
                 except Exception as e:  # keep going; record the failure
                     row = dict(rate=rate, ch=ch, rev=rev,
                                error=f"{type(e).__name__}: {e}",

@@ -752,7 +752,10 @@ def process_capture(
     # contraction that XLA:TPU rewrites as broadcast+multiply+reduce,
     # materializing a ring-sized temporary per call — at serving batch
     # sizes those temporaries were the largest line item of the step.
-    p_ref_max = state.subtractor.refined.H.shape[1]
+    # Window width covers BOTH filters (a coarse filter may be configured
+    # longer than the refined one, subtractor_unittest.cc:253).
+    p_ref_max = max(state.subtractor.refined.H.shape[1],
+                    state.subtractor.coarse.H.shape[1])
     headroom_blocks = int(config.delay.delay_headroom_samples) // 64
     delay_bound = max(config.filter.refined.length_blocks, headroom_blocks + 1)
     spec_win_len = min(
@@ -977,7 +980,10 @@ def process_capture_pair(
     nb = len(views)
     y0s = [jnp.swapaxes(cb[0], 0, 1) for cb in capture_blocks]  # (C, 64)
 
-    p_ref_max = state.subtractor.refined.H.shape[1]
+    # Window width covers BOTH filters (a coarse filter may be configured
+    # longer than the refined one, subtractor_unittest.cc:253).
+    p_ref_max = max(state.subtractor.refined.H.shape[1],
+                    state.subtractor.coarse.H.shape[1])
     headroom_blocks = int(config.delay.delay_headroom_samples) // 64
     delay_bound = max(config.filter.refined.length_blocks, headroom_blocks + 1)
     spec_win_len = min(
@@ -1039,7 +1045,13 @@ def process_capture_pair(
         )
 
     spec_wins = [rb._sf_spectrum(geo, r) for r in sf_rows_k]
-    kernel_mode = use_subtractor_kernel
+    # The kernel's in-VMEM window is built with the refined partition
+    # count; a coarse filter configured LONGER than the refined one (legal,
+    # non-default) falls back to the XLA pair path.
+    kernel_mode = use_subtractor_kernel and (
+        state.subtractor.coarse.H.shape[1]
+        <= state.subtractor.refined.H.shape[1]
+    )
     X_windows = (None if kernel_mode
                  else [rb._sf_fft(geo, r[:p_ref_max]) for r in sf_rows_k])
 

@@ -757,9 +757,15 @@ def process_masked(
     saturated_capture,  # () bool
 ):
     """Subtractor::Process with the analyzer inputs precomputed (the form
-    the pair phase / megakernel consume)."""
+    the pair phase / megakernel consume). ``X_window_refined`` must carry
+    at least max(P_refined, P_coarse) rows (each filter slices its own
+    partition count, as the reference's per-filter render-buffer fetches
+    do — supports coarse filters longer than refined,
+    subtractor_unittest.cc:253)."""
     # Filter outputs.
-    S_refined = apply_filter(state.refined, X_window_refined)
+    S_refined = apply_filter(
+        state.refined, X_window_refined[: state.refined.H.shape[1]]
+    )
     e_refined, s_refined = _prediction_error(S_refined, y)
     S_coarse = apply_filter(
         state.coarse, X_window_refined[: state.coarse.H.shape[1]]
@@ -840,7 +846,7 @@ def process_masked(
     refined = _update_size(state.refined,
                            config.filter.config_change_duration_blocks)
     refined, impulse = adapt_and_constrain_filter(
-        refined, X_window_refined, G_refined,
+        refined, X_window_refined[: state.refined.H.shape[1]], G_refined,
         state.refined_impulse_responses,
     )
     freq_resp = compute_frequency_response(refined)
@@ -854,10 +860,19 @@ def process_masked(
 
     coarse = _update_size(state.coarse,
                           config.filter.config_change_duration_blocks)
-    # SetFilter from refined on reset (subtractor.cc:289-301).
+    # SetFilter from refined on reset (subtractor.cc:289-301): copy
+    # min(sizes) partitions, zero the rest (AdaptiveFirFilter::SetFilter).
     p_c = coarse.H.shape[1]
+    p_r = refined.H.shape[1]
+    refined_as_coarse = (
+        refined.H[:, :p_c] if p_c <= p_r
+        else jnp.concatenate(
+            [refined.H,
+             jnp.zeros(refined.H.shape[:1] + (p_c - p_r,)
+                       + refined.H.shape[2:], refined.H.dtype)], axis=1)
+    )
     coarse_H = jnp.where(
-        reset_coarse[:, None, None, None], refined.H[:, :p_c], coarse.H
+        reset_coarse[:, None, None, None], refined_as_coarse, coarse.H
     )
     coarse = coarse.replace(H=coarse_H)
     hangover = jnp.where(
@@ -922,8 +937,7 @@ def process_pair(
     is its semantic reference. Returns (state, [outputs dict per block]).
     """
     nb = len(ys)
-    p_max = state.refined.H.shape[1]
-    pidx = jnp.arange(p_max)
+    pidx = jnp.arange(spec_wins.shape[1])
     outs = []
     for k in range(nb):
         # Reference per-block order (echo_remover.cc:317-348):
