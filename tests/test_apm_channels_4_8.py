@@ -38,7 +38,8 @@ def _run(c, rate, n_ch, n_rev, frames=6):
     return ap, out
 
 
-@pytest.mark.parametrize("n", [4, 8])
+@pytest.mark.parametrize(
+    "n", [4, pytest.param(8, marks=pytest.mark.slow)])
 def test_aec3_multichannel_geometry(n):
     c = cfg_mod.Config().replace(
         pipeline=cfg_mod.Pipeline(multi_channel_capture=True,
@@ -49,7 +50,8 @@ def test_aec3_multichannel_geometry(n):
     _run(c, 16000, n, n)
 
 
-@pytest.mark.parametrize("n", [4, 8])
+@pytest.mark.parametrize(
+    "n", [4, pytest.param(8, marks=pytest.mark.slow)])
 def test_aecm_multichannel_cascade(n):
     # n capture x n render cancellers (echo_control_mobile_impl.cc:158-162)
     # with the render channels processed one cascade stage each.

@@ -51,13 +51,16 @@ def _random_state(cfg, R, C=1):
     return st
 
 
+# Interpret-mode Pallas is ~40 s per config on CPU: the fast gate keeps
+# the mono base case and the 48 kHz stereo headline geometry; the
+# event/permutation sweep runs under -m slow.
 @pytest.mark.parametrize("nb,C,R,events", [
     (2, 1, 1, False),
-    (3, 1, 2, False),
-    (3, 1, 2, True),
+    pytest.param(3, 1, 2, False, marks=pytest.mark.slow),
+    pytest.param(3, 1, 2, True, marks=pytest.mark.slow),
     (3, 2, 2, False),   # the 48 kHz stereo headline geometry
-    (3, 2, 2, True),
-    (2, 2, 1, True),
+    pytest.param(3, 2, 2, True, marks=pytest.mark.slow),
+    pytest.param(2, 2, 1, True, marks=pytest.mark.slow),
 ])
 def test_kernel_matches_xla_pair(nb, C, R, events):
     cfg = EchoCanceller3Config()

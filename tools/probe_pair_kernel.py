@@ -9,10 +9,13 @@ serving path), jits it for the default backend, runs it twice, and prints
 timing + output checksums. Exit code 0 = Mosaic compiled and executed.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -135,11 +135,19 @@ def _update_size(cur, tgt, old, ctr, duration):
     return new_size, new_old, ctr2
 
 
-def _apply_filter(Xr, Xi, Hr, Hi, m):
-    """S = sum_{p<size, r} X * H. X/H: (B, P, R, 65); m: prebuilt
-    (B, P, R, 65) 0/1 partition mask. Returns (S_re, S_im): (B, 65)."""
-    Sr = jnp.sum((Xr * Hr - Xi * Hi) * m, axis=(1, 2))
-    Si = jnp.sum((Xr * Hi + Xi * Hr) * m, axis=(1, 2))
+def _apply_filter(Xr, Xi, Hr, Hi, m, fold):
+    """S = sum_{p<size, r} X * H. X/H: (B, P, R*65) folded-lane; m:
+    prebuilt (B, P, R*65) 0/1 partition mask; fold: (R*65, 65) lane-fold
+    matrix (sum over render channels). Returns (S_re, S_im): (B, 65).
+
+    Folded-lane layout: the render-channel axis lives INSIDE the lane
+    dimension (lane r*65+k = channel r, bin k), so the minor two dims
+    tile as (P, R*65) instead of (R, 65) — ~3.2x physical VPU/VMEM
+    density at R=2 (a (2, 65) minor pads to (8, 128): 12.7% occupancy)."""
+    Sr = jnp.dot(jnp.sum((Xr * Hr - Xi * Hi) * m, axis=1), fold,
+                 preferred_element_type=jnp.float32)
+    Si = jnp.dot(jnp.sum((Xr * Hi + Xi * Hr) * m, axis=1), fold,
+                 preferred_element_type=jnp.float32)
     return Sr, Si
 
 
@@ -181,6 +189,25 @@ def make_pair_kernel(
     dft_lo = dft[:BLOCK]
     dft_hi = dft[BLOCK:]
 
+    # Folded-lane constrain bases: with the render-channel axis folded
+    # into lanes (lane r*65+k = channel r, bin k), the per-channel
+    # head-IDFT / forward-DFT of the constrained partition become ONE
+    # block-diagonal matmul across all channels:
+    #   h_head = Hpc_re @ bd_ih_re + Hpc_im @ bd_ih_im   (SB, R*64)
+    #   Hn_re  = h_head @ bd_dl_re                        (SB, R*65)
+    RL, RB = R * NUM_BINS, R * BLOCK
+    bd_ih_re = np.zeros((RL, RB), np.float32)
+    bd_ih_im = np.zeros((RL, RB), np.float32)
+    bd_dl_re = np.zeros((RB, RL), np.float32)
+    bd_dl_im = np.zeros((RB, RL), np.float32)
+    for r in range(R):
+        rows = slice(r * NUM_BINS, (r + 1) * NUM_BINS)
+        cols = slice(r * BLOCK, (r + 1) * BLOCK)
+        bd_ih_re[rows, cols] = idft_head[:NUM_BINS]
+        bd_ih_im[rows, cols] = idft_head[NUM_BINS:]
+        bd_dl_re[cols, rows] = dft_lo[:, :NUM_BINS]
+        bd_dl_im[cols, rows] = dft_lo[:, NUM_BINS:]
+
     r_cfg = np.asarray(refined_cfg, np.float32)
     c_cfg = np.asarray(coarse_cfg, np.float32)
     r_cfg0 = np.asarray(refined_initial_cfg, np.float32)
@@ -194,8 +221,9 @@ def make_pair_kernel(
         cfr_ref, cfi_ref, csum_ref = next(it), next(it), next(it)
         offs_ref, y_ref, mask_ref = next(it), next(it), next(it)
         flags_ref, sat_ref = next(it), next(it)
-        b_idt_ref, b_idh_ref = next(it), next(it)
-        b_dlo_ref, b_dhi_ref = next(it), next(it)
+        b_idt_ref, b_dhi_ref = next(it), next(it)
+        b_ihre_ref, b_ihim_ref = next(it), next(it)
+        b_dlre_ref, b_dlim_ref = next(it), next(it)
         out_ch = [[next(it) for _ in range(N_CH_ARRAYS)] for _ in range(C)]
         o_fscal, o_iscal = next(it), next(it)
         o_eref, o_ecoa, o_scal = next(it), next(it), next(it)
@@ -210,9 +238,9 @@ def make_pair_kernel(
 
         # Per-capture-channel filter/analysis state, each a list of C
         # (SB, ...) values held live in VMEM for the whole frame.
-        Hr = [ch_refs[c][0][:] for c in range(C)]   # (SB, P, R, 65)
+        Hr = [ch_refs[c][0][:] for c in range(C)]   # (SB, P, R*65)
         Hi = [ch_refs[c][1][:] for c in range(C)]
-        Hcr = [ch_refs[c][2][:] for c in range(C)]  # (SB, Pc, R, 65)
+        Hcr = [ch_refs[c][2][:] for c in range(C)]  # (SB, Pc, R*65)
         Hci = [ch_refs[c][3][:] for c in range(C)]
         H_err = [ch_refs[c][4][:] for c in range(C)]  # (SB, 65)
         freq = [ch_refs[c][5][:] for c in range(C)]   # (SB, P, 65)
@@ -224,14 +252,28 @@ def make_pair_kernel(
         _is0 = iscal_ref[:]       # (SB, NI)
         fs = {i: _fs0[:, i] for i in range(NF)}
         isv = {i: _is0[:, i] for i in range(NI)}
-        Cr = cfr_ref[:]           # (SB, W2, R, 65)
+        Cr = cfr_ref[:]           # (SB, W2, R*65) folded-lane
         Ci = cfi_ref[:]
         Cs = csum_ref[:]          # (SB, W2, 65)
         sat = sat_ref[:][:, 0] != 0  # (SB,)
         idt = b_idt_ref[:]        # (130, 64) tail idft
-        idh = b_idh_ref[:]        # (130, 64) head idft
-        dlo = b_dlo_ref[:]        # (64, 130)
         dhi = b_dhi_ref[:]        # (64, 130)
+        b_ih_re = b_ihre_ref[:]   # (R*65, R*64) block-diag head idft re
+        b_ih_im = b_ihim_ref[:]
+        b_dl_re = b_dlre_ref[:]   # (R*64, R*65) block-diag fwd dft re
+        b_dl_im = b_dlim_ref[:]
+        RL = R * NUM_BINS
+        # Lane fold/duplicate matrices (iota-built; MXU contractions):
+        # fold: (SB, R*65) @ (R*65, 65) sums over render channels;
+        # dup: (SB, 65) @ (65, R*65) replicates per-bin vectors per r.
+        _fj = jax.lax.broadcasted_iota(jnp.int32, (RL, NUM_BINS), 0)
+        _fk = jax.lax.broadcasted_iota(jnp.int32, (RL, NUM_BINS), 1)
+        fold_m = ((_fj - (_fj // NUM_BINS) * NUM_BINS) == _fk).astype(
+            jnp.float32)
+        _dj = jax.lax.broadcasted_iota(jnp.int32, (NUM_BINS, RL), 0)
+        _dk = jax.lax.broadcasted_iota(jnp.int32, (NUM_BINS, RL), 1)
+        dup_m = (_dj == (_dk - (_dk // NUM_BINS) * NUM_BINS)).astype(
+            jnp.float32)
         Y = y_ref[:]              # (SB, nb*C, 64)
         # kHanning64 built in-kernel (captured host constants are not
         # allowed in pallas kernels): sin^2(pi k / 63).
@@ -290,48 +332,46 @@ def make_pair_kernel(
         # Mosaic cannot relayout (SB, P)-shaped vectors into higher ranks
         # (the lane dim would become a sublane dim), so partition masks
         # are built directly at target rank from iota-vs-scalar compares:
-        # (SB,) -> rank-N leading broadcasts are supported.
+        # (SB,) -> rank-N leading broadcasts are supported. All filter
+        # arrays are folded-lane (SB, Pp, R*65).
         def iota4(Pp):
-            return jax.lax.broadcasted_iota(
-                jnp.int32, (SB, Pp, R, NUM_BINS), 1)
+            return jax.lax.broadcasted_iota(jnp.int32, (SB, Pp, RL), 1)
 
         def iota3(Pp, K):
             return jax.lax.broadcasted_iota(jnp.int32, (SB, Pp, K), 1)
 
-        def s4(v, Pp):    # (SB,) -> (SB, Pp, R, 65)
-            return bdim(v, (SB, Pp, R, NUM_BINS), (0,))
+        def s4(v, Pp):    # (SB,) -> (SB, Pp, R*65)
+            return bdim(v, (SB, Pp, RL), (0,))
 
         def s3(v, Pp, K):
             return bdim(v, (SB, Pp, K), (0,))
 
-        def g4(g, Pp):    # (SB, 65) -> (SB, Pp, R, 65)
-            return bdim(g, (SB, Pp, R, NUM_BINS), (0, 3))
+        def g4(g, Pp):    # (SB, 65) per-bin -> (SB, Pp, R*65)
+            g_rl = jnp.dot(g, dup_m, preferred_element_type=jnp.float32)
+            return bdim(g_rl, (SB, Pp, RL), (0, 2))
 
-        def r4(v, Pp):    # (SB, R, 65) -> (SB, Pp, R, 65)
-            return bdim(v, (SB, Pp, R, NUM_BINS), (0, 2, 3))
+        def r4(v, Pp):    # (SB, R*65) -> (SB, Pp, R*65)
+            return bdim(v, (SB, Pp, RL), (0, 2))
 
         def constrain(Ha_r, Ha_i, pc_oh, Pp):
             """Force-causal the one-hot-selected partition of an adapted
             filter (adaptive_fir_filter.cc Constrain): returns the new
             full filter (re, im) and the constrained head h_head
-            (SB, R, BLOCK)."""
-            Hpc_r = jnp.sum(Ha_r * pc_oh, axis=1)  # (SB, R, 65)
+            (SB, R*BLOCK) — all render channels transformed in one
+            block-diagonal matmul pair."""
+            Hpc_r = jnp.sum(Ha_r * pc_oh, axis=1)  # (SB, R*65)
             Hpc_i = jnp.sum(Ha_i * pc_oh, axis=1)
-            flat_r = Hpc_r.reshape(SB * R, NUM_BINS)
-            flat_i = Hpc_i.reshape(SB * R, NUM_BINS)
-            h_head = (jnp.dot(flat_r, idh[:NUM_BINS],
+            h_head = (jnp.dot(Hpc_r, b_ih_re,
                               preferred_element_type=jnp.float32)
-                      + jnp.dot(flat_i, idh[NUM_BINS:],
+                      + jnp.dot(Hpc_i, b_ih_im,
                                 preferred_element_type=jnp.float32))
-            Hn_r = jnp.dot(h_head, dlo[:, :NUM_BINS],
+            Hn_r = jnp.dot(h_head, b_dl_re,
                            preferred_element_type=jnp.float32)
-            Hn_i = jnp.dot(h_head, dlo[:, NUM_BINS:],
+            Hn_i = jnp.dot(h_head, b_dl_im,
                            preferred_element_type=jnp.float32)
-            Hn_r = Hn_r.reshape(SB, R, NUM_BINS)
-            Hn_i = Hn_i.reshape(SB, R, NUM_BINS)
             new_r = jnp.where(pc_oh > 0, r4(Hn_r, Pp), Ha_r)
             new_i = jnp.where(pc_oh > 0, r4(Hn_i, Pp), Ha_i)
-            return new_r, new_i, h_head.reshape(SB, R, BLOCK)
+            return new_r, new_i, h_head
 
         stage = _DEBUG_STAGE
         for k in range(nb):
@@ -346,7 +386,7 @@ def make_pair_kernel(
             transition = flags_ref[:, k, 3] != 0
 
             # ---- handle_echo_path_change (full reset on delay change).
-            z = delay_ch[:, None, None, None]
+            z = delay_ch[:, None, None]
             for c in range(C):
                 Hr[c] = jnp.where(z, 0.0, Hr[c])
                 Hi[c] = jnp.where(z, 0.0, Hi[c])
@@ -410,21 +450,19 @@ def make_pair_kernel(
 
             # ---- per-block X window + spectral sums from the chains
             # (render-side — shared by all capture channels).
-            # Chain rows are (W2, R, 65); the window is rows
+            # Chain rows are (W2, R*65) folded-lane; the window is rows
             # [off, off+P) — per-stream dynamic, selected by a one-hot
             # row mask in VMEM (cheap: the chain is on-chip).
             wsel = (jnp.arange(W2)[None, :, None]
                     == (off[:, None, None] + jnp.arange(P)[None, None, :]))
             wsf = wsel.astype(jnp.float32)  # (SB, W2, P)
 
-            # Xw[p] = sum_w wsel[w, p] * chain[w]; per render channel —
-            # Mosaic cannot shape-cast the fused (R, 65) contraction.
             def _sel(chain_swk):
                 return jnp.einsum("swp,swk->spk", wsf, chain_swk,
                                   preferred_element_type=jnp.float32)
 
-            Xr = jnp.stack([_sel(Cr[:, :, r]) for r in range(R)], axis=2)
-            Xi = jnp.stack([_sel(Ci[:, :, r]) for r in range(R)], axis=2)
+            Xr = _sel(Cr)         # (SB, P, R*65)
+            Xi = _sel(Ci)
             spec_rows = _sel(Cs)  # (SB, P, 65)
 
             size_r = col(isv, I_R_CUR)
@@ -447,9 +485,10 @@ def make_pair_kernel(
             y2, e2_r, e2_c = [None] * C, [None] * C, [None] * C
             s2_r, s2_c, smax_r, smax_c = ([None] * C for _ in range(4))
             for c in range(C):
-                Sr_r, Si_r = _apply_filter(Xr, Xi, Hr[c], Hi[c], mask_r4)
+                Sr_r, Si_r = _apply_filter(Xr, Xi, Hr[c], Hi[c], mask_r4,
+                                           fold_m)
                 Sr_c, Si_c = _apply_filter(Xr[:, :Pc], Xi[:, :Pc],
-                                           Hcr[c], Hci[c], mask_c4)
+                                           Hcr[c], Hci[c], mask_c4, fold_m)
                 s_ref[c] = (jnp.dot(Sr_r, idt[:NUM_BINS],
                                     preferred_element_type=jnp.float32)
                             + jnp.dot(Si_r, idt[NUM_BINS:],
@@ -499,8 +538,8 @@ def make_pair_kernel(
                 scale = jnp.where(
                     adjust[c],
                     2.0 / jnp.sqrt(jnp.maximum(mis_inv, 1e-10)), 1.0)
-                Hr[c] = Hr[c] * scale[:, None, None, None]
-                Hi[c] = Hi[c] * scale[:, None, None, None]
+                Hr[c] = Hr[c] * scale[:, None, None]
+                Hi[c] = Hi[c] * scale[:, None, None]
                 imp[c] = imp[c] * scale[:, None, None]
                 s_ref[c] = s_ref[c] * scale[:, None]
                 e_ref[c] = y[c] - s_ref[c]
@@ -610,17 +649,22 @@ def make_pair_kernel(
                 Hr[c], Hi[c], hh = constrain(Hr_a, Hi_a, pc_oh, P)
 
                 # impulse response row pc <- max-|.|-per-tap across render
-                # channels.
-                seg = hh[:, 0]
+                # channels (hh is (SB, R*BLOCK); per-channel lane slices).
+                seg = hh[:, :BLOCK]
                 for rr in range(1, R):
-                    cand = hh[:, rr]
+                    cand = hh[:, rr * BLOCK:(rr + 1) * BLOCK]
                     seg = jnp.where(jnp.abs(seg) < jnp.abs(cand), cand, seg)
                 seg_b = bdim(seg, (SB, P, BLOCK), (0, 2))
                 imp[c] = jnp.where(pc_m > 0, seg_b, imp[c])
 
                 # frequency response: max over render channels of |H|^2,
-                # zero beyond current size (full recompute — H is on-chip).
-                H2 = jnp.max(Hr[c] * Hr[c] + Hi[c] * Hi[c], axis=2)
+                # zero beyond current size (full recompute — H is on-chip;
+                # per-channel lane slices of the folded array).
+                H2f = Hr[c] * Hr[c] + Hi[c] * Hi[c]
+                H2 = H2f[:, :, :NUM_BINS]
+                for rr in range(1, R):
+                    H2 = jnp.maximum(
+                        H2, H2f[:, :, rr * NUM_BINS:(rr + 1) * NUM_BINS])
                 freq[c] = H2 * (iota3(P, NUM_BINS)
                                 < s3(size_r, P, NUM_BINS)).astype(jnp.float32)
             isv = setcol(isv, I_R_PC,
@@ -671,7 +715,7 @@ def make_pair_kernel(
 
                 Hcr[c] = Hcr[c] * keep_c
                 Hci[c] = Hci[c] * keep_c
-                rc = reset_c[:, None, None, None]
+                rc = reset_c[:, None, None]
                 Hcr[c] = jnp.where(rc, Hr[c][:, :Pc], Hcr[c])
                 Hci[c] = jnp.where(rc, Hi[c][:, :Pc], Hci[c])
                 hang = col(isv, lay.I_RESET_HANG + c)
@@ -724,6 +768,18 @@ def make_pair_kernel(
         assert B % sb == 0, (B, sb)
         grid = (B // sb,)
 
+        # Fold the render-channel axis into lanes (free: row-major
+        # contiguous) for the filter planes and the complex chains; the
+        # kernel computes entirely in the folded layout.
+        state_arrays = list(state_arrays)
+        for c in range(C):
+            for j in range(4):  # Hr, Hi, Hcr, Hci
+                a = state_arrays[c * N_CH_ARRAYS + j]
+                state_arrays[c * N_CH_ARRAYS + j] = a.reshape(
+                    a.shape[0], a.shape[1], -1)
+        Cr = Cr.reshape(Cr.shape[0], Cr.shape[1], -1)
+        Ci = Ci.reshape(Ci.shape[0], Ci.shape[1], -1)
+
         def bs(shape_tail):
             return pl.BlockSpec((sb,) + shape_tail,
                                 lambda i: (i,) + (0,) * len(shape_tail),
@@ -734,9 +790,11 @@ def make_pair_kernel(
                                 memory_space=pltpu.VMEM)
 
         idt = jnp.asarray(idft_tail)
-        idh = jnp.asarray(idft_head)
-        dlo_a = jnp.asarray(dft_lo)
         dhi_a = jnp.asarray(dft_hi)
+        ihre = jnp.asarray(bd_ih_re)
+        ihim = jnp.asarray(bd_ih_im)
+        dlre = jnp.asarray(bd_dl_re)
+        dlim = jnp.asarray(bd_dl_im)
 
         out_shape = (
             [jax.ShapeDtypeStruct(a.shape,
@@ -758,8 +816,9 @@ def make_pair_kernel(
             + [bs(Cr.shape[1:]), bs(Ci.shape[1:]), bs(Cs.shape[1:]),
                bs(offs.shape[1:]), bs(y.shape[1:]), bs(nmask.shape[1:]),
                bs(flags.shape[1:]), bs(sat.shape[1:]),
-               shared(idt.shape), shared(idh.shape),
-               shared(dlo_a.shape), shared(dhi_a.shape)]
+               shared(idt.shape), shared(dhi_a.shape),
+               shared(ihre.shape), shared(ihim.shape),
+               shared(dlre.shape), shared(dlim.shape)]
         )
         out_specs = (
             [bs(a.shape[1:]) for a in state_arrays]
@@ -768,7 +827,7 @@ def make_pair_kernel(
             + [bs((nb, P, BLOCK)) for _ in range(C)]
             + [bs((nb,))]
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             out_shape=out_shape,
@@ -783,6 +842,15 @@ def make_pair_kernel(
             ),
             interpret=interpret,
         )(*state_arrays, Cr, Ci, Cs, offs, y, nmask, flags, sat,
-          idt, idh, dlo_a, dhi_a)
+          idt, dhi_a, ihre, ihim, dlre, dlim)
+
+        # Unfold the filter planes back to (B, Pp, R, 65).
+        out = list(out)
+        for c in range(C):
+            for j in range(4):
+                a = out[c * N_CH_ARRAYS + j]
+                out[c * N_CH_ARRAYS + j] = a.reshape(
+                    a.shape[0], a.shape[1], R, NUM_BINS)
+        return tuple(out)
 
     return run
