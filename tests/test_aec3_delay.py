@@ -98,3 +98,59 @@ def test_end_to_end_delay_recovery():
     expected = delay_blocks_true - 1 + headroom_blocks  # 32 samples -> .5 blk
     assert bool(valid)
     assert abs(int(delay) - expected) <= 1, (int(delay), expected)
+
+
+def test_lag_estimation_delay_grid():
+    """MatchedFilterTest.LagEstimation port
+    (tests/unit/aec3/matched_filter_unittest.cc:258-326): the delay stack
+    recovers artificially delayed white noise across a grid of
+    sample-granular delays. One jitted lax.scan per delay (same geometry
+    -> one compile); the recovered block delay must match the true delay
+    minus the 32-sample headroom within one block."""
+    cfg = aec3_config.EchoCanceller3Config()
+    geo = rb.BufferGeometry.create(cfg, 16000, 1)
+    dgeo = de.DelayGeometry.create(cfg)
+
+    @jax.jit
+    def run(render_blocks, capture_blocks):
+        buf = rb.init_state(geo, cfg)
+        est = de.init_state(dgeo, cfg, 1)
+
+        def body(carry, xs):
+            buf, est, n = carry
+            r, c = xs
+            buf, _ = rb.insert(geo, cfg, buf, r[None, :, None], n)
+            buf, _, _ = rb.prepare_capture_processing(geo, cfg, buf)
+            est, delay, valid = de.get_delay(
+                dgeo, cfg, est, buf.lowrate, rb.lr_read_index(geo, buf, n),
+                c[None, :, None],
+            )
+            return (buf, est, n + 1), (delay, valid)
+
+        (_, _, _), (delays, valids) = jax.lax.scan(
+            body, (buf, est, jnp.asarray(1, jnp.int32)),
+            (render_blocks, capture_blocks),
+        )
+        return delays, valids
+
+    # Sample-granular (not block-aligned) delays; the smallest reference
+    # delays (5 downsampled samples at 48 kHz) have no direct analog here
+    # because they fall below the 32-sample headroom + one-block
+    # aggregator hysteresis (delays under ~2 blocks never validate).
+    n_blocks = 140
+    for delay_samples in (150, 200, 320, 449):
+        render = (RNG.standard_normal(n_blocks * 64 + delay_samples)
+                  * 1000).astype(F)
+        # One stream: the fed render leads the capture by delay_samples
+        # (the echo arrives delay_samples after its render frame).
+        r_blocks = render[delay_samples:].reshape(n_blocks, 64)
+        c_blocks = render[: n_blocks * 64].reshape(n_blocks, 64)
+        delays, valids = run(jnp.asarray(r_blocks), jnp.asarray(c_blocks))
+        assert bool(valids[-1]), delay_samples
+        got = int(delays[-1])
+        # Headroom subtraction + the lag aggregator's one-block offset
+        # (same convention as test_end_to_end_delay_recovery).
+        expected = max(
+            (delay_samples - cfg.delay.delay_headroom_samples) / 64.0 - 1,
+            0.0)
+        assert abs(got - expected) <= 1, (delay_samples, got, expected)

@@ -73,7 +73,14 @@ class Aec3Geometry:
         if pair_phase is None:
             pair_phase = os.environ.get("AEC3_PAIR_PHASE", "1") != "0"
         if pair_kernel is None:
-            pair_kernel = os.environ.get("AEC3_PAIR_KERNEL", "1") != "0"
+            # Default OFF: the megakernel is semantically validated and
+            # compiles/runs on the chip, but the r05 on-device A/B shows
+            # the XLA pair path is still faster in the full pipeline
+            # (8.65 vs 9.30 ms/frame at B=1024, 48 kHz stereo; stage
+            # bisection in PERF.md — the kernel's remaining cost is its
+            # HBM I/O + state marshal floor, not compute). Set
+            # AEC3_PAIR_KERNEL=1 to enable.
+            pair_kernel = os.environ.get("AEC3_PAIR_KERNEL", "0") == "1"
         return Aec3Geometry(
             config=config,
             sample_rate_hz=sample_rate_hz,

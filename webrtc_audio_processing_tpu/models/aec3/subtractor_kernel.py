@@ -243,7 +243,9 @@ def process_pair_kernel(
     transitions,  # (nb,) bool
     saturated_capture,  # () bool
     interpret: bool = False,
-    sb: int = 8,
+    sb: int = 32,  # streams per grid step; 32 measured fastest at B=1024
+    #   (in-kernel compute 1.12 vs 1.53 ms/call at sb=8 — bigger stream
+    #   tiles amortize per-step scalar/matmul overheads; VMEM still fits)
 ):
     """Kernel-backed subtractor.process_pair (same contract/outputs)."""
     nb = int(ys.shape[0])
