@@ -21,3 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache for CPU test runs: the suite's cost is
+# dominated by pipeline compiles; with the cache, re-runs (and CI
+# re-invocations within an image) hit compiled executables instead.
+# Scoped under /tmp: per-machine, never committed.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
