@@ -13,6 +13,7 @@ parity), and exposes reference-style statistics.
 
 from __future__ import annotations
 
+import os
 from collections import deque
 
 import jax
@@ -260,6 +261,14 @@ class AudioProcessing:
             injections=self._injections,
             debug_taps=getattr(self, "_data_dump_dir", None) is not None,
             aec3_stereo_content=self._aec3_stereo_active,
+            # Serving-mode knob (like AEC3_PAIR_KERNEL): bfloat16 selects
+            # the half-footprint render rings (PERF.md r02/r05 — +4% at
+            # the B=2048 operating point; -57 dB echo-reduction floor).
+            # Exposed through the public API so the conformance matrix
+            # can certify the bf16 serving mode unchanged
+            # (APM_AEC3_RING_DTYPE=bfloat16 tools/run_conformance_matrix.py).
+            aec3_ring_dtype=os.environ.get("APM_AEC3_RING_DTYPE",
+                                           "float32"),
         )
         from webrtc_audio_processing_tpu.utils import complex_boundary as cb
 
